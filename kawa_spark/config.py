@@ -1,0 +1,38 @@
+"""Pipeline configuration. One dataclass, hashable for resume manifests."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # matcher
+    connector: str = "_"
+    compound_word_step: int = 3
+    word_shingle_cutoff: int = 3
+    seed: int = 42
+    # blocking
+    minhash_perms: int = 12
+    minhash_bands: int = 6  # rows per band = perms // bands
+    shingle_size: int = 3
+    hot_key_threshold: int = 2000  # mentions per block key before triangle split
+    hot_key_groups: int = 8
+    max_pairs_per_key: int | None = None  # None = exact (triangle-partitioned)
+    # scoring
+    jw_weight: float = 0.4
+    lev_weight: float = 0.3
+    cos_weight: float = 0.3
+    match_threshold: float = 0.82
+    # clustering
+    cc_max_iter: int = 20
+
+    def fingerprint(self) -> str:
+        return hashlib.sha1(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

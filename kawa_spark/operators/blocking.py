@@ -1,0 +1,156 @@
+"""Candidate blocking: key generation + skew-safe pair generation.
+
+Key spaces (union — a pair is a candidate if the mentions share ANY key;
+SURVEY.md §7 step 4):
+
+* ``exact``   — the digit-folded normalized form itself
+* ``prefix``  — 3-char prefixes of first+last word (the reference's
+                shingle-prefix cascade analog, ontology_manager.py:258-294)
+* ``soundex`` — phonetic key of first+last word (built-in F.soundex)
+* ``mh{b}``   — MinHash-LSH band keys over character shingles
+
+MinHash is expressed **natively** (no UDF): char n-grams via
+transform/sequence/substr, per-permutation min over xxhash64(seed, gram)
+(fast path) or md5 (oracle-parity path, identical in DuckDB), band key =
+hash of the band's minima. Whole-stage codegen keeps this JVM-side.
+
+Skew: keys hotter than ``hot_key_threshold`` are triangle-partitioned
+into g groups — each mention replicates to the g sub-blocks it can form
+pairs in, so every within-key pair is still generated exactly once while
+the max task input drops from O(s²) to O((s/g)²) per sub-block
+(SURVEY.md §4 X10; BASELINE.json:14 explicit salting mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+
+
+def _char_shingles(col: Column, n: int) -> Column:
+    """Distinct character n-grams (padded so short strings still key)."""
+    padded = F.rpad(col, n, "#")
+    cnt = F.greatest(F.length(padded) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), cnt), lambda i: padded.substr(i, F.lit(n)))
+    )
+
+
+def minhash_signature(col: Column, perms: int, n: int, native_hash: str = "xxhash64") -> Column:
+    """array<string> of per-permutation minima. ``native_hash`` is
+    'xxhash64' (fast) or 'md5' (cross-engine deterministic — DuckDB
+    computes the identical value, used by the correctness oracle)."""
+    grams = _char_shingles(col, n)
+    mins = []
+    for p in range(perms):
+        if native_hash == "md5":
+            h = lambda s, p=p: F.md5(F.concat(F.lit(f"p{p}:"), s))
+        else:
+            h = lambda s, p=p: F.format_string(
+                "%016x", F.xxhash64(F.lit(p), s).cast("long")
+            )
+        mins.append(F.array_min(F.transform(grams, h)))
+    return F.array(*mins)
+
+
+def band_keys(sig: Column, bands: int, perms: int) -> Column:
+    """array<string> of LSH band keys (concat-hash of each band's rows)."""
+    rows = perms // bands
+    keys = []
+    for b in range(bands):
+        band = F.concat_ws("|", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
+        keys.append(F.concat(F.lit(f"mh{b}:"), F.md5(band)))
+    return F.array(*keys)
+
+
+def add_block_keys(
+    mentions: DataFrame, cfg: PipelineConfig | None = None, native_hash: str = "xxhash64"
+) -> DataFrame:
+    """mentions(mention_id, norm, ...) -> (mention_id, norm, block_key)
+    exploded over the union of key spaces. All-native; no Python."""
+    cfg = cfg or PipelineConfig()
+    norm = F.col("norm")
+    words = F.split(norm, cfg.connector)
+    first_w, last_w = F.element_at(words, 1), F.element_at(words, -1)
+
+    exact = F.concat(F.lit("ex:"), norm)
+    prefix = F.concat(
+        F.lit("px:"), F.substring(first_w, 1, 3), F.lit("|"), F.substring(last_w, 1, 3)
+    )
+    sdx = F.concat(F.lit("sx:"), F.soundex(first_w), F.lit("|"), F.soundex(last_w))
+    mh = band_keys(
+        minhash_signature(norm, cfg.minhash_perms, cfg.shingle_size, native_hash),
+        cfg.minhash_bands,
+        cfg.minhash_perms,
+    )
+    keys = F.array_union(F.array(exact, prefix, sdx), mh)
+    return mentions.select(
+        "mention_id", "norm", F.explode(keys).alias("block_key")
+    ).filter(F.col("mention_id").isNotNull())
+
+
+def candidate_pairs(keyed: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """(mention_id, norm, block_key) -> (block_key, id_a, norm_a, id_b, norm_b)
+
+    Cold keys: plain self equi-join (sort-merge/shuffle-hash, AQE picks).
+    Hot keys: triangle partitioning — mention m in group g(m) replicates
+    to sub-blocks {(min(g,h), max(g,h)) : h in 0..G-1}; a pair (x, y)
+    meets in exactly one sub-block (g(x), g(y)) ordered, so the pair set
+    is identical to the naive join while each task is bounded."""
+    cfg = cfg or PipelineConfig()
+    counts = keyed.groupBy("block_key").count()
+    hot_keys = counts.filter(F.col("count") > cfg.hot_key_threshold).select("block_key")
+
+    cold = keyed.join(F.broadcast(hot_keys), "block_key", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("a.mention_id") < F.col("b.mention_id"))
+        .select(
+            "block_key",
+            F.col("a.mention_id").alias("id_a"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.mention_id").alias("id_b"),
+            F.col("b.norm").alias("norm_b"),
+        )
+    )
+
+    g = cfg.hot_key_groups
+    hot = keyed.join(F.broadcast(hot_keys), "block_key").withColumn(
+        "grp", F.pmod(F.xxhash64("mention_id"), F.lit(g))
+    )
+    hot = hot.withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(g - 1)))).withColumn(
+        "sub_key",
+        F.concat_ws(
+            ":",
+            F.col("block_key"),
+            F.least("grp", "h").cast("string"),
+            F.greatest("grp", "h").cast("string"),
+        ),
+    )
+    ha, hb = hot.alias("a"), hot.alias("b")
+    hot_pairs = (
+        ha.join(hb, "sub_key")
+        .filter(
+            (F.col("a.mention_id") < F.col("b.mention_id"))
+            # a pair (x, y) is kept only in the sub-block where x's
+            # replica was addressed to y's group — exactly one sub-block
+            & (F.col("a.h") == F.col("b.grp"))
+        )
+        .select(
+            F.col("a.block_key").alias("block_key"),
+            F.col("a.mention_id").alias("id_a"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.mention_id").alias("id_b"),
+            F.col("b.norm").alias("norm_b"),
+        )
+    )
+    pairs = cold_pairs.unionByName(hot_pairs)
+    # a pair found via several key spaces is scored once
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.min("block_key").alias("block_key"),
+        F.first("norm_a").alias("norm_a"),
+        F.first("norm_b").alias("norm_b"),
+    )

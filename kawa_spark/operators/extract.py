@@ -1,0 +1,151 @@
+"""Mention extraction as a vectorized Arrow stage.
+
+``documents (url, text, lang) -> mentions`` via ``mapInPandas``
+(BASELINE.json:15: pandas/Arrow UDFs only — the per-document greedy
+matcher is inherently sequential *within* a document
+(SURVEY.md §4 X11), so we vectorize *across* documents: one Arrow batch
+in, one matcher call per row, executed by a per-process matcher built
+once from a broadcast lexicon).
+
+The extracted text is byte-identical to the oracle
+(kawa_spark.lexicon.matcher) by construction — same module — and the
+pipeline defines the invariant on whitespace-normalized text (quirk Q2:
+the reference's offsets assume single-space joining, so extraction is
+only stable there; SURVEY.md Appendix A).
+
+Plan shape: narrow map only — no shuffle. Filters/column pruning on the
+document scan stay relational and reach the parquet reader.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import PipelineConfig
+from ..lexicon.matcher import TRANNUM, KawaMatcher
+
+MENTION_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("lang", StringType()),
+        StructField("extracted_text", StringType()),
+        StructField("mention", StringType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("label", StringType()),
+        StructField("norm", StringType()),
+    ]
+)
+
+# one matcher per (executor python process, lexicon fingerprint, lang)
+_MATCHER_CACHE: dict[tuple, KawaMatcher] = {}
+
+
+def _matcher_for(lang: str, word2ner: list, fp: str, cfg: PipelineConfig) -> KawaMatcher:
+    key = (fp, lang)
+    m = _MATCHER_CACHE.get(key)
+    if m is None:
+        m = KawaMatcher(
+            lang,
+            word2ner=[list(r) for r in word2ner],
+            connector=cfg.connector,
+            compound_word_step=cfg.compound_word_step,
+            word_shingle_cutoff=cfg.word_shingle_cutoff,
+            seed=cfg.seed,
+        )
+        _MATCHER_CACHE[key] = m
+    return m
+
+
+def _lexicon_fingerprint(word2ner: list) -> str:
+    h = hashlib.sha1()
+    for rec in word2ner:
+        h.update(("|".join(map(str, rec))).encode())
+    return h.hexdigest()[:16]
+
+
+def normalize_whitespace(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single-space the text (native, codegen'd) — defines the domain on
+    which byte-identity holds (quirk Q2)."""
+    return df.withColumn(
+        text_col, F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    )
+
+
+def extract_mentions(
+    docs: DataFrame,
+    word2ner: list,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """documents(url, text, lang, ...) -> one row per mention, plus one
+    mention-null row per document so every url keeps its extracted text.
+
+    The lexicon rides a Spark broadcast; matchers build lazily per
+    executor process (heavy init done once, ontology_manager-style)."""
+    cfg = cfg or PipelineConfig()
+    spark = docs.sparkSession
+    fp = _lexicon_fingerprint(word2ner)
+    bc = spark.sparkContext.broadcast(word2ner)
+    connector = cfg.connector
+
+    docs = normalize_whitespace(docs.select("url", "text", "lang"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lexicon = bc.value
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MENTION_SCHEMA.fields}
+
+            def emit(url, lang, text2, mention, start, end, label, norm):
+                out["url"].append(url)
+                out["lang"].append(lang)
+                out["extracted_text"].append(text2)
+                out["mention"].append(mention)
+                out["start"].append(start)
+                out["end"].append(end)
+                out["label"].append(label)
+                out["norm"].append(norm)
+
+            for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
+                m = _matcher_for(lang or "", lexicon, fp, cfg)
+                res = m.tokenize(text or "")
+                ner = res["chunk2ner"]
+                if not ner:
+                    emit(url, lang, res["text"], None, None, None, None, None)
+                    continue
+                for (chunk, start, end), label in ner.items():
+                    norm, _ = m.canonical_word(
+                        chunk, suppress_cjk_tokenize=True, do_lower=True
+                    )
+                    norm = norm.translate(TRANNUM)
+                    emit(url, lang, res["text"], chunk, start, end, label, norm)
+            yield pd.DataFrame(out)
+
+    mentions = docs.mapInPandas(run, schema=MENTION_SCHEMA)
+    # stable mention id (FIXTURES.md §4)
+    return mentions.withColumn(
+        "mention_id",
+        F.when(
+            F.col("mention").isNotNull(),
+            F.sha1(F.concat_ws(":", F.col("url"), F.col("start"), F.col("mention"))),
+        ),
+    )
+
+
+def split_outputs(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(extracted(url, text), mentions-only) from the combined stream."""
+    extracted = mentions.groupBy("url").agg(
+        F.first("extracted_text", ignorenulls=True).alias("text")
+    )
+    only = mentions.filter(F.col("mention").isNotNull()).drop("extracted_text")
+    return extracted, only

@@ -1,0 +1,141 @@
+"""End-to-end ER pipeline with per-stage checkpoints, lineage + resume.
+
+documents -> extract (mapInPandas) -> block keys -> candidate pairs ->
+score -> threshold edges -> large-star/small-star CC -> clusters.
+
+Each stage writes parquet to ``<out_dir>/<stage>/`` with a manifest
+(config fingerprint, input/output row counts, per-partition row counts =
+the lineage record). ``resume=True`` skips stages whose manifest matches
+the current config — the reference's file-existence checkpointing
+(ontology_builder.py:186,286-290) made atomic and partition-aware
+(BASELINE.json:14: per-partition lineage + metrics enabling
+resume-from-checkpoint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .operators.blocking import add_block_keys, candidate_pairs
+from .operators.cc import assign_clusters, connected_components
+from .operators.extract import extract_mentions, split_outputs
+from .operators.scoring import match_edges, score_pairs
+
+STAGES = ["mentions", "block_keys", "pairs", "edges", "clusters"]
+
+
+@dataclass
+class StageResult:
+    name: str
+    rows: int
+    seconds: float
+    resumed: bool
+
+
+class ERPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        word2ner: list,
+        embeddings: dict[str, np.ndarray] | None = None,
+        cfg: PipelineConfig | None = None,
+        out_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.word2ner = word2ner
+        self.embeddings = embeddings or {}
+        self.cfg = cfg or DEFAULT_CONFIG
+        self.out_dir = out_dir
+        self.metrics: list[StageResult] = []
+
+    # ---------------- checkpoint / lineage ----------------
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.out_dir, stage, "_MANIFEST.json")
+
+    def _write_stage(self, stage: str, df: DataFrame, t0: float) -> DataFrame:
+        if not self.out_dir:
+            self.metrics.append(StageResult(stage, -1, time.time() - t0, False))
+            return df
+        path = os.path.join(self.out_dir, stage)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        )
+        rows = sum(r["count"] for r in per_part)
+        manifest = {
+            "stage": stage,
+            "config": self.cfg.fingerprint(),
+            "rows": rows,
+            "partitions": {str(r["pid"]): r["count"] for r in per_part},
+            "completed": True,
+        }
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self.metrics.append(StageResult(stage, rows, time.time() - t0, False))
+        return out
+
+    def _resume_stage(self, stage: str) -> DataFrame | None:
+        if not self.out_dir:
+            return None
+        mp = self._manifest_path(stage)
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            manifest = json.load(f)
+        if manifest.get("config") != self.cfg.fingerprint() or not manifest.get(
+            "completed"
+        ):
+            return None
+        df = self.spark.read.parquet(os.path.join(self.out_dir, stage))
+        self.metrics.append(StageResult(stage, manifest["rows"], 0.0, True))
+        return df
+
+    def _stage(self, name: str, resume: bool, compute) -> DataFrame:
+        if resume:
+            cached = self._resume_stage(name)
+            if cached is not None:
+                return cached
+        t0 = time.time()
+        return self._write_stage(name, compute(), t0)
+
+    # ---------------- the pipeline ----------------
+
+    def run(self, docs: DataFrame, resume: bool = False) -> DataFrame:
+        cfg = self.cfg
+        mentions_all = self._stage(
+            "mentions", resume, lambda: extract_mentions(docs, self.word2ner, cfg)
+        )
+        _, mentions = split_outputs(mentions_all)
+
+        keyed = self._stage(
+            "block_keys", resume, lambda: add_block_keys(mentions, cfg)
+        )
+        pairs = self._stage("pairs", resume, lambda: candidate_pairs(keyed, cfg))
+        edges = self._stage(
+            "edges",
+            resume,
+            lambda: match_edges(score_pairs(pairs, self.embeddings, cfg), cfg),
+        )
+        clusters = self._stage(
+            "clusters",
+            resume,
+            lambda: assign_clusters(
+                mentions, connected_components(edges, max_iter=cfg.cc_max_iter)
+            ),
+        )
+        return clusters
+
+    def extracted_text(self, docs: DataFrame) -> DataFrame:
+        """(url, text) after extraction splice — the byte-identity surface."""
+        extracted, _ = split_outputs(extract_mentions(docs, self.word2ner, self.cfg))
+        return extracted

@@ -1,0 +1,165 @@
+"""Spark pipeline tests: byte-identity vs oracle, blocking equivalence,
+skew partitioning, end-to-end pairwise F1 (SURVEY.md §5.2-5.5)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kawa_spark.config import PipelineConfig
+from kawa_spark.eval import labeled_pairs_from_truth, pairwise_f1
+from kawa_spark.lexicon.matcher import KawaMatcher
+from kawa_spark.operators.blocking import add_block_keys, candidate_pairs
+from kawa_spark.operators.extract import extract_mentions, split_outputs
+from kawa_spark.operators.scoring import jaro_winkler, match_edges, score_pairs
+from kawa_spark.pipeline import ERPipeline
+from kawa_spark.testgen import corpus_to_pandas, generate
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate(n_docs=120, n_entities=30, seed=42)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    docs, _, _, _ = corpus_to_pandas(corpus)
+    return spark.createDataFrame(docs[["url", "text", "lang"]])
+
+
+class TestExtractionByteIdentity:
+    def test_spark_equals_oracle_per_url(self, spark, corpus, docs_df):
+        """The invariant (BASELINE.json:15): Spark extracted text ==
+        oracle extracted text, byte-for-byte, per url, on
+        whitespace-normalized text."""
+        extracted, mentions = split_outputs(
+            extract_mentions(docs_df, corpus.word2ner)
+        )
+        got = {r["url"]: r["text"] for r in extracted.collect()}
+
+        matchers = {}
+        mismatches = []
+        for doc in corpus.documents:
+            lang = doc["lang"]
+            if lang not in matchers:
+                matchers[lang] = KawaMatcher(
+                    lang, word2ner=[list(r) for r in corpus.word2ner]
+                )
+            text = " ".join(doc["text"].split())
+            want = matchers[lang].tokenize(text)["text"]
+            if got.get(doc["url"]) != want:
+                mismatches.append((doc["url"], want, got.get(doc["url"])))
+        assert not mismatches, f"{len(mismatches)} urls diverge: {mismatches[:3]}"
+        assert len(got) == len(corpus.documents)
+
+    def test_mentions_have_ids_and_norms(self, spark, corpus, docs_df):
+        _, mentions = split_outputs(extract_mentions(docs_df, corpus.word2ner))
+        bad = mentions.filter(
+            F.col("mention_id").isNull() | F.col("norm").isNull()
+        ).count()
+        assert bad == 0
+        assert mentions.count() > 50
+
+
+class TestBlocking:
+    def test_same_entity_variants_share_a_key(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "mention_id": ["m1", "m2", "m3", "m4"],
+                "norm": [
+                    "alice_anderson",
+                    "alise_anderson",  # typo
+                    "alice_andersen",  # phonetic
+                    "completely_different",
+                ],
+            }
+        )
+        keyed = add_block_keys(spark.createDataFrame(pdf))
+        rows = keyed.collect()
+        keys = {}
+        for r in rows:
+            keys.setdefault(r["mention_id"], set()).add(r["block_key"])
+        assert keys["m1"] & keys["m2"], "typo variant must share a block key"
+        assert keys["m1"] & keys["m3"], "phonetic variant must share a block key"
+
+    def test_triangle_partitioning_equals_naive(self, spark):
+        """Hot-key pair generation must produce exactly the naive pair
+        set, each pair once (the scale/skew test, SURVEY.md §5.5)."""
+        n = 60
+        pdf = pd.DataFrame(
+            {"mention_id": [f"m{i:03d}" for i in range(n)], "norm": ["x"] * n}
+        )
+        df = spark.createDataFrame(pdf).withColumn("block_key", F.lit("hot"))
+        keyed = df.select("mention_id", "norm", "block_key")
+        cfg_hot = PipelineConfig(hot_key_threshold=10, hot_key_groups=4)
+        cfg_cold = PipelineConfig(hot_key_threshold=10**9)
+        hot_pairs = {
+            (r["id_a"], r["id_b"])
+            for r in candidate_pairs(keyed, cfg_hot).collect()
+        }
+        cold_pairs = {
+            (r["id_a"], r["id_b"])
+            for r in candidate_pairs(keyed, cfg_cold).collect()
+        }
+        assert len(cold_pairs) == n * (n - 1) // 2
+        assert hot_pairs == cold_pairs
+
+
+class TestScoring:
+    def test_jaro_winkler_known_values(self):
+        assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-3)
+        assert jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84, abs=1e-2)
+        assert jaro_winkler("abc", "abc") == 1.0
+        assert jaro_winkler("abc", "xyz") == 0.0
+
+    def test_score_pipeline(self, spark, corpus):
+        pdf = pd.DataFrame(
+            {
+                "id_a": ["p1", "p2"],
+                "id_b": ["q1", "q2"],
+                "norm_a": ["alice_anderson", "alice_anderson"],
+                "norm_b": ["alise_anderson", "quartz_window"],
+                "block_key": ["k", "k"],
+            }
+        )
+        scored = score_pairs(
+            spark.createDataFrame(pdf), corpus.embeddings
+        ).collect()
+        by = {r["id_a"]: r for r in scored}
+        assert by["p1"]["score"] > 0.85
+        assert by["p2"]["score"] < 0.6
+
+
+class TestEndToEnd:
+    def test_pairwise_f1_gate(self, spark, corpus, docs_df, tmp_path):
+        """The headline gate: pairwise F1 >= 0.99 on labeled within-block
+        pairs (BASELINE.json:2)."""
+        _, w2n, _, truth = corpus_to_pandas(corpus)
+        pipe = ERPipeline(
+            spark,
+            corpus.word2ner,
+            corpus.embeddings,
+            out_dir=str(tmp_path / "er"),
+        )
+        clusters = pipe.run(docs_df)
+        keyed = add_block_keys(
+            clusters.select("mention_id", "norm"), pipe.cfg
+        )
+        labeled = labeled_pairs_from_truth(
+            clusters, spark.createDataFrame(truth), keyed
+        )
+        stats = pairwise_f1(labeled)
+        assert stats["f1"] >= 0.99, stats
+
+    def test_resume_skips_and_matches(self, spark, corpus, docs_df, tmp_path):
+        pipe = ERPipeline(
+            spark, corpus.word2ner, corpus.embeddings, out_dir=str(tmp_path / "er2")
+        )
+        first = pipe.run(docs_df).select("mention_id", "cluster_id").collect()
+        pipe2 = ERPipeline(
+            spark, corpus.word2ner, corpus.embeddings, out_dir=str(tmp_path / "er2")
+        )
+        second = pipe2.run(docs_df, resume=True).select(
+            "mention_id", "cluster_id"
+        ).collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+        assert all(m.resumed for m in pipe2.metrics), pipe2.metrics
