@@ -30,8 +30,10 @@ from ..config import PipelineConfig
 
 
 def _char_shingles(col: Column, n: int) -> Column:
-    """Distinct character n-grams (padded so short strings still key)."""
-    padded = F.rpad(col, n, "#")
+    """Distinct character n-grams (padded so short strings still key).
+
+    rpad truncates strings longer than n, so pad only the short case."""
+    padded = F.when(F.length(col) < n, F.rpad(col, n, "#")).otherwise(col)
     cnt = F.greatest(F.length(padded) - (n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), cnt), lambda i: padded.substr(i, F.lit(n)))
@@ -43,15 +45,21 @@ def minhash_signature(col: Column, perms: int, n: int, native_hash: str = "xxhas
     'xxhash64' (fast) or 'md5' (cross-engine deterministic — DuckDB
     computes the identical value, used by the correctness oracle)."""
     grams = _char_shingles(col, n)
-    mins = []
-    for p in range(perms):
+
+    # single-arg lambdas only: F.transform passes (element, index) to any
+    # two-parameter callable, so a `lambda s, p=p` default-bound closure
+    # silently receives the array index as p
+    def hasher(p: int):
         if native_hash == "md5":
-            h = lambda s, p=p: F.md5(F.concat(F.lit(f"p{p}:"), s))
-        else:
-            h = lambda s, p=p: F.format_string(
-                "%016x", F.xxhash64(F.lit(p), s).cast("long")
-            )
-        mins.append(F.array_min(F.transform(grams, h)))
+            prefix = f"p{p}:"
+            return lambda s: F.md5(F.concat(F.lit(prefix), s))
+        return lambda s: F.format_string(
+            "%016x", F.xxhash64(F.lit(p), s).cast("long")
+        )
+
+    mins = [
+        F.array_min(F.transform(grams, hasher(p))) for p in range(perms)
+    ]
     return F.array(*mins)
 
 

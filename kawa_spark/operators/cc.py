@@ -94,3 +94,25 @@ def assign_clusters(mentions: DataFrame, components: DataFrame) -> DataFrame:
         .withColumn("cluster_id", F.coalesce("component", "mention_id"))
         .drop("component")
     )
+
+
+def assign_surface_clusters(
+    mentions: DataFrame, surfaces: DataFrame, components: DataFrame
+) -> DataFrame:
+    """Mentions -> cluster_id via their surface form.
+
+    ``surfaces`` is (norm, surface_id = min mention_id of that norm);
+    ``components`` is (node=surface_id, component). Every mention of a
+    norm inherits the surface's component (or the surface_id itself for
+    singleton surfaces). The surfaces table is orders of magnitude
+    smaller than the mention stream (distinct forms vs occurrences), so
+    this join is the cheap direction; at web scale the surface side is
+    still distributed (no broadcast assumed)."""
+    surf = (
+        surfaces.join(components, surfaces["surface_id"] == components["node"], "left")
+        .withColumn("cluster_id", F.coalesce("component", "surface_id"))
+        .select("norm", "cluster_id")
+    )
+    return mentions.join(surf, "norm", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "mention_id")
+    )

@@ -25,11 +25,14 @@ from pyspark.sql import functions as F
 
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .operators.blocking import add_block_keys, candidate_pairs
-from .operators.cc import assign_clusters, connected_components
+from .operators.cc import (
+    assign_surface_clusters,
+    connected_components,
+)
 from .operators.extract import extract_mentions, split_outputs
 from .operators.scoring import match_edges, score_pairs
 
-STAGES = ["mentions", "block_keys", "pairs", "edges", "clusters"]
+STAGES = ["mentions", "surfaces", "block_keys", "pairs", "edges", "clusters"]
 
 
 @dataclass
@@ -117,8 +120,30 @@ class ERPipeline:
         )
         _, mentions = split_outputs(mentions_all)
 
+        # Surface dedup: identical norms are trivially the same entity, so
+        # blocking/pairing/scoring run over DISTINCT surface forms, never
+        # occurrences — pairs drop from O(mentions²) to O(surfaces²) per
+        # block key. At 10^12 documents the mention stream is ~10^12 rows
+        # while distinct surfaces are ~10^8-9; the groupBy is a map-side
+        # partial min, and mentions rejoin clusters by norm at the end.
+        surfaces = self._stage(
+            "surfaces",
+            resume,
+            lambda: mentions.groupBy("norm").agg(
+                F.min("mention_id").alias("surface_id"),
+                F.count("*").alias("n_mentions"),
+            ),
+        )
+
         keyed = self._stage(
-            "block_keys", resume, lambda: add_block_keys(mentions, cfg)
+            "block_keys",
+            resume,
+            lambda: add_block_keys(
+                surfaces.select(
+                    F.col("surface_id").alias("mention_id"), "norm"
+                ),
+                cfg,
+            ),
         )
         pairs = self._stage("pairs", resume, lambda: candidate_pairs(keyed, cfg))
         edges = self._stage(
@@ -129,8 +154,10 @@ class ERPipeline:
         clusters = self._stage(
             "clusters",
             resume,
-            lambda: assign_clusters(
-                mentions, connected_components(edges, max_iter=cfg.cc_max_iter)
+            lambda: assign_surface_clusters(
+                mentions,
+                surfaces,
+                connected_components(edges, max_iter=cfg.cc_max_iter),
             ),
         )
         return clusters
