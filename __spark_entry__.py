@@ -382,7 +382,12 @@ def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kawa_spark.operators.blocking import minhash_signature
 
     _views(spark, sf_dir)
-    docs = spark.table("documents")
+    # the signature fold is CPU-heavy per row; a single-file scan is one
+    # partition, so spread rows across the cluster first (values are
+    # row-local — repartitioning cannot change them)
+    docs = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sig = minhash_signature(F.lower(F.col("text")), perms=8, n=3, native_hash="md5")
     return docs.select(
         "doc_id", F.md5(F.concat_ws("|", sig)).alias("sig_digest")

@@ -64,6 +64,8 @@ def connected_components(
         .distinct()
     )
     e = e.localCheckpoint(eager=True)
+    if not e.take(1):  # no edges -> no non-singleton components
+        return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e))

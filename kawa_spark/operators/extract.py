@@ -101,6 +101,15 @@ def extract_mentions(
 
     docs = normalize_whitespace(docs.select("url", "text", "lang"))
 
+    # extraction is the per-row hot stage; if the source arrived in fewer
+    # splits than the cluster has cores (single small file, coalesced
+    # upstream, ...) the narrow map would underuse the executors. At
+    # scale the scan already yields >= parallelism splits and this is a
+    # no-op check (no job is triggered — partition count is plan-time).
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lexicon = bc.value
         for pdf in batches:

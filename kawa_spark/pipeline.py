@@ -58,6 +58,7 @@ class ERPipeline:
         self.cfg = cfg or DEFAULT_CONFIG
         self.out_dir = out_dir
         self.metrics: list[StageResult] = []
+        self._persisted: list[DataFrame] = []
 
     # ---------------- checkpoint / lineage ----------------
 
@@ -66,6 +67,11 @@ class ERPipeline:
 
     def _write_stage(self, stage: str, df: DataFrame, t0: float) -> DataFrame:
         if not self.out_dir:
+            # no checkpoint dir: persist so the multi-branch DAG (surfaces,
+            # pairs, final cluster join all reuse `mentions`) does not
+            # re-run the extraction UDF once per branch
+            df = df.persist()
+            self._persisted.append(df)
             self.metrics.append(StageResult(stage, -1, time.time() - t0, False))
             return df
         path = os.path.join(self.out_dir, stage)
@@ -161,6 +167,11 @@ class ERPipeline:
             ),
         )
         return clusters
+
+    def unpersist(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
 
     def extracted_text(self, docs: DataFrame) -> DataFrame:
         """(url, text) after extraction splice — the byte-identity surface."""

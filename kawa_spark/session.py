@@ -37,6 +37,17 @@ def get_spark(
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Small single-file inputs otherwise scan as ONE partition and every
+    # downstream narrow stage runs single-core; advisory minimum keeps
+    # local benches parallel and is a no-op at scale (large inputs
+    # already exceed it via maxPartitionBytes splitting).
+    conf["spark.sql.files.minPartitionNum"] = str(shuffle_partitions)
+    # AQE's coalescing floor is byte-based (1 MiB); our Python matcher
+    # stage is CPU-bound at ~KB/row, so that floor serializes small-but-
+    # expensive stages onto one core. Lowering the floor lets
+    # parallelismFirst target defaultParallelism; at scale
+    # totalSize/parallelism >> this value, so behavior is unchanged.
+    conf["spark.sql.adaptive.coalescePartitions.minPartitionSize"] = "64k"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
