@@ -489,6 +489,138 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _hash60_sql(tok_expr: str, md5_fn: str = "md5") -> str:
+    """60-bit integer from the first 15 hex chars of md5 — identical
+    digit-sum arithmetic in Spark SQL and DuckDB (both: instr/strpos of
+    the hex digit in a constant string, weighted by 16^(15-i))."""
+    terms = " + ".join(
+        f"(CAST(instr('0123456789abcdef', substr({md5_fn}({tok_expr}), {i}, 1)) AS BIGINT) - 1)"
+        f" * CAST(shiftleft(CAST(1 AS BIGINT), {4 * (15 - i)}) AS BIGINT)"
+        for i in range(1, 16)
+    )
+    return f"({terms})"
+
+
+def _hash60_duck(tok_expr: str) -> str:
+    terms = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(md5({tok_expr}), {i}, 1)) AS BIGINT) - 1)"
+        f" * (CAST(1 AS BIGINT) << {4 * (15 - i)})"
+        for i in range(1, 16)
+    )
+    return f"({terms})"
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 16-bit SimHash per doc over distinct tokens: each token's 60-bit
+    # md5-derived hash votes +-1 per bit position; signature packs the
+    # sign vector. Near-dup docs collide on the signature (the scale
+    # path uses the native 64-bit xxhash64 variant in
+    # kawa_spark.operators.blocking.simhash).
+    _views(spark, sf_dir)
+    h = _hash60_sql("tok")
+    return spark.sql(f"""
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0
+                        THEN CAST(shiftleft(CAST(1 AS BIGINT), b) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS simhash16
+        FROM (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+            FROM (
+                SELECT doc_id, {h} AS h
+                FROM (SELECT DISTINCT doc_id, tok
+                      FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+                            FROM documents) e) t
+            ) hh
+            LATERAL VIEW explode(sequence(0, 15)) s AS b
+            GROUP BY doc_id, b
+        ) votes
+        GROUP BY doc_id
+    """)
+
+
+def _q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G1/G2 — connected components over a brand-type co-occurrence
+    # graph, via the pipeline's large-star/small-star operator; the
+    # DuckDB oracle computes the same components with a recursive
+    # reachability CTE (component id = lexicographic min member).
+    from kawa_spark.operators.cc import connected_components
+
+    _views(spark, sf_dir)
+    edges = spark.sql("""
+        SELECT DISTINCT concat('b:', p_brand) AS u, concat('t:', p_type) AS v
+        FROM part WHERE p_size <= 3
+    """)
+    return connected_components(edges, src="u", dst="v").select(
+        "node", "component"
+    )
+
+
+# deterministic random-hyperplane LSH planes shared by Spark and DuckDB:
+# component (p, i) = +-1 from the parity of byte i of sha1("plane<p>")
+def _lsh_planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
+    import hashlib as _hl
+
+    planes = []
+    for p in range(n_planes):
+        raw = b""
+        while len(raw) < dim:
+            raw += _hl.sha1(f"plane{p}:{len(raw)}".encode()).digest()
+        planes.append([1.0 if b % 2 else -1.0 for b in raw[:dim]])
+    return planes
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # similarity search, scale path: random-hyperplane LSH buckets
+    # restrict the candidate set, then exact dot-product ranking within
+    # the bucket (vs cosine_topk's brute force). At 10^9 vectors the
+    # bucket join replaces the cross join.
+    _views(spark, sf_dir)
+    planes = _lsh_planes()
+    arr = lambda p: "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in p) + ")"  # noqa: E731
+    bucket = " + ".join(
+        f"CAST(CASE WHEN aggregate(zip_with(embedding, {arr(p)},"
+        f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+        f" (acc, v) -> acc + v) > 0 THEN {1 << i} ELSE 0 END AS BIGINT)"
+        for i, p in enumerate(planes)
+    )
+    return spark.sql(f"""
+        WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+                   FROM b WHERE vec_id < 8),
+             c AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id >= 8),
+             scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id, q.bucket,
+                       aggregate(zip_with(q.qv, c.embedding,
+                                          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dot
+                FROM q JOIN c ON q.bucket = c.bucket
+             )
+        SELECT query_id, neighbor_id, bucket, rank, ROUND(dot, 4) AS sim
+        FROM (
+            SELECT query_id, neighbor_id, bucket, dot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, neighbor_id) AS rank
+            FROM scored
+        ) r
+        WHERE rank <= 5
+    """)
+
+
+def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal metadata path: treat the text payload as an opaque
+    # binary column; typed metadata (size, digest, format sniff) stays
+    # native so the binary column prunes out of metadata-only scans.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT doc_id,
+               octet_length(encode(text, 'utf-8')) AS n_bytes,
+               md5(encode(text, 'utf-8')) AS content_md5,
+               CASE WHEN text LIKE '<%' THEN 'markup' ELSE 'plain' END AS sniff
+        FROM documents
+    """)
+
+
 def _q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phonetic blocking keys (Spark built-in soundex; DuckDB lacks
     # soundex → rows-only check)
@@ -539,6 +671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang_id_heuristic": _q_lang_id,
             "doc_fingerprint": _q_doc_fingerprint,
             "cosine_topk": _q_cosine_topk,
+            "simhash_dedup": _q_simhash_dedup,
+            "cc_components": _q_cc_components,
+            "ann_lsh": _q_ann_lsh,
+            "binary_meta": _q_binary_meta,
             "soundex_blocks": _q_soundex_blocks,
             "er_mentions": _q_er_mentions,
             "er_clusters": _q_er_clusters,
@@ -679,6 +815,53 @@ def oracle_sql() -> dict[str, str]:
                 ) g
                 GROUP BY doc_id
             """,
+            "simhash_dedup": f"""
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN v > 0
+                                THEN (CAST(1 AS BIGINT) << b)
+                                ELSE 0 END) AS BIGINT) AS simhash16
+                FROM (
+                    SELECT doc_id, b,
+                           SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                    FROM (
+                        SELECT doc_id, {_hash60_duck("tok")} AS h
+                        FROM (SELECT DISTINCT doc_id, tok
+                              FROM (SELECT doc_id,
+                                           unnest(string_split(lower(text), ' ')) AS tok
+                                    FROM documents) e) t
+                    ) hh
+                    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) s
+                    GROUP BY doc_id, b
+                ) votes
+                GROUP BY doc_id
+            """,
+            "cc_components": """
+                WITH RECURSIVE
+                edges AS (SELECT DISTINCT concat('b:', p_brand) AS u,
+                                          concat('t:', p_type) AS v
+                          FROM part WHERE p_size <= 3),
+                nodes AS (SELECT u AS node FROM edges
+                          UNION SELECT v FROM edges),
+                sym AS (SELECT u, v FROM edges
+                        UNION SELECT v AS u, u AS v FROM edges),
+                reach AS (
+                    SELECT node, node AS r FROM nodes
+                    UNION
+                    SELECT s.u AS node, reach.r
+                    FROM sym s JOIN reach ON s.v = reach.node
+                )
+                SELECT node, MIN(r) AS component
+                FROM reach GROUP BY node
+            """,
+            "ann_lsh": _duckdb_ann_lsh_sql(),
+            "binary_meta": """
+                SELECT doc_id,
+                       octet_length(encode(text)) AS n_bytes,
+                       md5(text) AS content_md5,
+                       CASE WHEN text LIKE '<%' THEN 'markup' ELSE 'plain' END
+                           AS sniff
+                FROM documents
+            """,
             "cosine_topk": """
                 WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                            FROM embeddings WHERE vec_id < 3),
@@ -708,6 +891,40 @@ def oracle_sql() -> dict[str, str]:
     # exists in both — block_pairs_lev stays common. soundex_blocks and
     # the ER pipeline queries are rows-only (no DuckDB equivalent).
     return oracles
+
+
+def _duckdb_ann_lsh_sql() -> str:
+    """DuckDB mirror of _q_ann_lsh: identical sha1-derived hyperplanes,
+    identical left-fold dot products, identical bucket packing."""
+    planes = _lsh_planes()
+    arr = lambda p: "[" + ",".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"  # noqa: E731
+    bucket = " + ".join(
+        f"CAST(CASE WHEN list_sum(list_transform(generate_series(1, 64),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ({arr(p)})[i])) > 0"
+        f" THEN {1 << i} ELSE 0 END AS BIGINT)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+                   FROM b WHERE vec_id < 8),
+             c AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id >= 8),
+             scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id, q.bucket,
+                       list_sum(list_transform(generate_series(1, len(q.qv)),
+                           i -> CAST(q.qv[i] AS DOUBLE)
+                                * CAST(c.embedding[i] AS DOUBLE))) AS dot
+                FROM q JOIN c ON q.bucket = c.bucket
+             )
+        SELECT query_id, neighbor_id, bucket, rank, ROUND(dot, 4) AS sim
+        FROM (
+            SELECT query_id, neighbor_id, bucket, dot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, neighbor_id) AS rank
+            FROM scored
+        ) r
+        WHERE rank <= 5
+    """
 
 
 def _duckdb_minhash_sql(perms: int, n: int) -> str:

@@ -1,0 +1,306 @@
+"""Lexicon ETL: the reference builder pipeline re-expressed Spark-first.
+
+The reference (ontology_builder.py) builds its lexicon with shell-outs
+(wget/grep/sort), sequential dict merges, and driver-side Counters:
+
+* grep relation pre-filter        -> ontology_builder.py:97-98,123-138
+* ConceptNet uri parsing          -> ontology_builder.py:146-170
+* sequential neighbor merge (G1)  -> ontology_builder.py:139-181
+* top-percent category cut (A3)   -> ontology_builder.py:104-110
+* word->category map w/ conflicts -> ontology_builder.py:192-201
+* majority-vote group category    -> ontology_builder.py:206-243
+* Yago NT parse + group-adjacent  -> ontology_builder.py:363-450
+* CN/Yago reconciliation (J3)     -> ontology_builder.py:637-648
+* bounded BFS expansion (G3)      -> ontology_builder.py:1164-1185
+
+Here every stage is a DataFrame transformation: the grep becomes a
+pushed-down ``contains`` filter, the external sort + group-adjacent scan
+becomes ``groupBy``, the order-dependent sequential merge becomes true
+connected components (operators/cc.py), and the Counters become
+``groupBy().count()`` with ``max_by`` majority votes. All stages are
+pure column expressions — no Python row UDFs — so they survive 100 TB
+inputs on partitioning alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .operators.cc import connected_components
+
+# ConceptNet relations the reference greps for (ontology_builder.py:123-138)
+DEFAULT_RELATIONS = (
+    "Synonym", "SimilarTo", "DerivedFrom", "EtymologicallyRelatedTo",
+    "EtymologicallyDerivedFrom", "RelatedTo", "FormOf", "IsA",
+)
+
+
+def parse_conceptnet_edges(raw: DataFrame, line_col: str = "value") -> DataFrame:
+    """Raw assertion lines -> (rel, lang_a, word_a, lang_b, word_b).
+
+    Mirrors the uri split at ontology_builder.py:146-160: the first TSV
+    field is ``/a/[/r/REL/,/c/lang/word/...,/c/lang/word/...]``. Kept
+    fully native (split/regexp) so Catalyst can pipeline it with the
+    relation filter; rows without two concepts are dropped as the
+    reference does (``len(rel) < 2: continue``)."""
+    uri = F.split(F.col(line_col), "\t").getItem(0)
+    rel = F.regexp_extract(uri, r"/r/([A-Za-z]+)/", 1)
+    concepts = F.expr(
+        f"filter(split(btrim(split({line_col}, '\t')[0], ']'), ',/c/'),"
+        " (x, i) -> i > 0)"
+    )
+    a = F.try_element_at(concepts, F.lit(1))
+    b = F.try_element_at(concepts, F.lit(2))
+    split_a, split_b = F.split(a, "/"), F.split(b, "/")
+    out = (
+        raw.select(
+            rel.alias("rel"),
+            F.try_element_at(split_a, F.lit(1)).alias("lang_a"),
+            F.try_element_at(split_a, F.lit(2)).alias("word_a"),
+            F.try_element_at(split_b, F.lit(1)).alias("lang_b"),
+            F.try_element_at(split_b, F.lit(2)).alias("word_b"),
+        )
+        .filter(
+            F.col("word_a").isNotNull()
+            & F.col("word_b").isNotNull()
+            & (F.col("word_a") != F.col("word_b"))
+        )
+    )
+    return out
+
+
+def filter_relations(edges: DataFrame, relations=DEFAULT_RELATIONS) -> DataFrame:
+    """The grep pre-filter (S2): a pushed-down IN predicate."""
+    return edges.filter(F.col("rel").isin(list(relations)))
+
+
+def wn_category_counts(
+    wn_concepts: DataFrame, keep_percentage: float = 0.01
+) -> DataFrame:
+    """Top-percent WordNet category cut (A3, ontology_builder.py:104-110).
+
+    wn_concepts: (category) one row per occurrence. Keeps categories with
+    count > 1, ranked by frequency, top ``keep_percentage`` fraction."""
+    counts = (
+        wn_concepts.groupBy("category")
+        .count()
+        .filter(F.col("count") > 1)
+        .filter(~F.col("category").rlike("^[0-9]"))
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("count"), "category"))
+    )
+    total = counts.count()
+    keep = max(1, int(total * keep_percentage))
+    return ranked.filter(F.col("rank") <= keep).select("category", "count")
+
+
+def word_category_map(word_cats: DataFrame) -> DataFrame:
+    """word -> single category, '*' on conflict
+    (ontology_builder.py:192-201)."""
+    return word_cats.groupBy("word").agg(
+        F.when(F.count_distinct("category") > 1, F.lit("*"))
+        .otherwise(F.first("category"))
+        .alias("category")
+    )
+
+
+def relation_groups(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(word_a, word_b) -> (word, group_id) via true connected components.
+
+    Replaces the reference's sequential, insertion-order-dependent
+    neighbor merge (ontology_builder.py:139-181) with
+    large-star/small-star CC — deterministic under any partitioning;
+    group_id = lexicographic min member (the reference keys groups by
+    the shortest member — equivalent up to a rename, which is what
+    cluster-level F1 measures)."""
+    comp = connected_components(
+        edges.select("word_a", "word_b"), src="word_a", dst="word_b",
+        max_iter=max_iter,
+    )
+    members = comp.select(F.col("node").alias("word"), F.col("component").alias("group_id"))
+    singles = (
+        edges.select(F.col("word_a").alias("word"))
+        .union(edges.select("word_b"))
+        .distinct()
+        .join(members, "word", "left_anti")
+        .withColumn("group_id", F.col("word"))
+    )
+    return members.unionByName(singles)
+
+
+def _with_cat_fallback(words: DataFrame, word2cat: DataFrame) -> DataFrame:
+    """J1: word -> category with first/last-component fallback
+    (ontology_builder.py:206-208): exact word, else head of compound,
+    else tail."""
+    w2c = word2cat.select("word", "category")
+    head = F.element_at(F.split(F.col("word"), "_"), 1)
+    tail = F.element_at(F.split(F.col("word"), "_"), -1)
+    exact = w2c.withColumnRenamed("category", "cat_exact")
+    by_head = w2c.select(
+        F.col("word").alias("head_word"), F.col("category").alias("cat_head")
+    )
+    by_tail = w2c.select(
+        F.col("word").alias("tail_word"), F.col("category").alias("cat_tail")
+    )
+    return (
+        words.withColumn("head", head)
+        .withColumn("tail", tail)
+        .join(F.broadcast(exact), "word", "left")
+        .join(F.broadcast(by_head), F.col("head") == F.col("head_word"), "left")
+        .join(F.broadcast(by_tail), F.col("tail") == F.col("tail_word"), "left")
+        .withColumn("category", F.coalesce("cat_exact", "cat_head", "cat_tail"))
+        .drop("head", "tail", "head_word", "tail_word",
+              "cat_exact", "cat_head", "cat_tail")
+    )
+
+
+def majority_group_category(
+    groups: DataFrame, word2cat: DataFrame, min_majority: float = 0.5
+) -> DataFrame:
+    """Group-majority category inference (A1/A4,
+    ontology_builder.py:206-243): a group whose top non-'*' category
+    covers >= ``min_majority`` of members assigns it to every member.
+
+    Native plan: broadcast category lookup -> two-level groupBy
+    (map-side partial aggregation) -> max_by."""
+    labeled = _with_cat_fallback(groups, word2cat)
+    cat_counts = (
+        labeled.filter(F.col("category").isNotNull() & (F.col("category") != "*"))
+        .groupBy("group_id", "category")
+        .count()
+    )
+    sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    top = (
+        cat_counts.groupBy("group_id")
+        .agg(F.max_by("category", F.struct("count", "category")).alias("top_cat"),
+             F.max(F.struct("count", "category")).alias("_m"))
+        .select("group_id", "top_cat", F.col("_m.count").alias("top_count"))
+    )
+    winners = top.join(sizes, "group_id").filter(
+        F.col("top_count") >= F.col("group_size") * min_majority
+    )
+    return (
+        groups.join(F.broadcast(winners.select("group_id", "top_cat")), "group_id", "left")
+        .withColumnRenamed("top_cat", "category")
+    )
+
+
+def parse_yago_triples(raw: DataFrame, line_col: str = "value") -> DataFrame:
+    """Yago NT lines -> (entity, category) (S3/F8/F9,
+    ontology_builder.py:363-385): split on '>', url-decode the entity,
+    camelCase -> snake_case upper for the category."""
+    parts = F.split(F.col(line_col), ">")
+    ent_uri = F.regexp_extract(F.element_at(parts, 1), r"/([^/<]+)$", 1)
+    cat_uri = F.regexp_extract(F.element_at(parts, 3), r"/(?:wordnet_|wikicat_)?([^/<]+)$", 1)
+    entity = F.lower(F.url_decode(ent_uri))
+    category = F.upper(
+        F.regexp_replace(F.regexp_replace(cat_uri, r"_\d+$", ""),
+                         r"(?<=[a-z0-9])(?=[A-Z])", "_")
+    )
+    return (
+        raw.select(entity.alias("entity"), category.alias("category"))
+        .filter((F.col("entity") != "") & (F.col("category") != ""))
+    )
+
+
+def yago_entity_categories(triples: DataFrame) -> DataFrame:
+    """Majority non-THING category per entity (A4,
+    ontology_builder.py:402-450). The reference shells out to
+    ``sort --parallel=32`` then streams group-adjacent rows; the
+    equivalent relational plan is a partial-aggregating groupBy — the
+    exchange performs the same external sort, minus the temp files."""
+    return (
+        triples.groupBy("entity", "category")
+        .count()
+        .withColumn("pref", F.when(F.col("category") == "THING", 0).otherwise(1))
+        .groupBy("entity")
+        .agg(
+            F.max_by("category", F.struct("pref", "count", "category")).alias("category"),
+            F.sum("count").alias("n_mentions"),
+        )
+    )
+
+
+def reconcile_cn_yago(cn: DataFrame, yago: DataFrame) -> DataFrame:
+    """Full-outer reconciliation with the reference's conflict rule
+    (J3, ontology_builder.py:637-648): overlap keeps the ConceptNet
+    label unless Yago says PUBLIC_FIGURE (gold for people)."""
+    c = cn.select(F.col("word"), F.col("category").alias("cn_cat"))
+    y = yago.select(F.col("entity").alias("word"), F.col("category").alias("yago_cat"))
+    return (
+        c.join(y, "word", "full_outer")
+        .withColumn(
+            "category",
+            F.when(F.col("yago_cat") == "PUBLIC_FIGURE", F.col("yago_cat"))
+            .otherwise(F.coalesce("cn_cat", "yago_cat")),
+        )
+        .select("word", "category", "cn_cat", "yago_cat")
+    )
+
+
+def bfs_expand(
+    seeds: DataFrame,
+    syn_edges: DataFrame,
+    rounds: int = 3,
+    max_unknown: int = 5,
+    max_ratio: float = 0.5,
+) -> DataFrame:
+    """Bounded BFS synonym expansion with precision guards (G3,
+    ontology_builder.py:1164-1185): up to ``rounds`` hops; a frontier
+    word is accepted only if it connects to fewer than ``max_unknown``
+    unlabeled words and the unknown/known ratio stays below
+    ``max_ratio``. Per-round localCheckpoint truncates the plan.
+
+    seeds: (word, label); syn_edges: (word_a, word_b) undirected."""
+    sym = syn_edges.select("word_a", "word_b").union(
+        syn_edges.select(F.col("word_b").alias("word_a"), F.col("word_a").alias("word_b"))
+    ).distinct()
+    degree = sym.groupBy("word_a").agg(F.count("*").alias("degree"))
+
+    known = seeds.select("word", "label").distinct().localCheckpoint(eager=True)
+    frontier = known
+    for _ in range(rounds):
+        cand = (
+            sym.join(frontier.withColumnRenamed("word", "word_a"), "word_a")
+            .select(F.col("word_b").alias("word"), "label")
+            .join(known.select("word"), "word", "left_anti")
+        )
+        known_deg = (
+            sym.join(known.select(F.col("word").alias("word_b")), "word_b")
+            .groupBy("word_a").agg(F.count("*").alias("known_degree"))
+        )
+        guarded = (
+            cand.groupBy("word")
+            .agg(F.first("label").alias("label"), F.count("*").alias("votes"))
+            .join(degree.withColumnRenamed("word_a", "word"), "word", "left")
+            .join(known_deg.withColumnRenamed("word_a", "word"), "word", "left")
+            .withColumn("known_degree", F.coalesce("known_degree", F.lit(0)))
+            .withColumn("unknown", F.col("degree") - F.col("known_degree"))
+            .filter(
+                (F.col("unknown") < max_unknown)
+                & (F.col("unknown") <= F.col("degree") * max_ratio)
+            )
+            .select("word", "label")
+        )
+        frontier = guarded.localCheckpoint(eager=True)
+        if not frontier.take(1):
+            break
+        known = known.union(frontier).distinct().localCheckpoint(eager=True)
+    return known
+
+
+def build_word2ner(words: DataFrame) -> list[list]:
+    """(word, category) DataFrame -> [word, label, weight, idx] records
+    (the matcher seed format, ontology_manager.py:395-411). Collects to
+    the driver — the lexicon is the SMALL side by design (broadcast to
+    every matcher worker), so this is the one sanctioned collect."""
+    rows = (
+        words.filter(F.col("category").isNotNull())
+        .select("word", "category")
+        .distinct()
+        .orderBy("word")
+        .collect()
+    )
+    return [[r["word"], r["category"], 0.0, i] for i, r in enumerate(rows)]

@@ -81,6 +81,41 @@ def minhash_signature(col: Column, perms: int, n: int, native_hash: str = "xxhas
     return F.transform(sig, lambda v: v.cast("string"))
 
 
+def simhash(col: Column, bits: int = 64, split_pattern: str = " ") -> Column:
+    """64-bit SimHash over whitespace tokens, fully native: ONE pass
+    over the token array (F.aggregate), per token one xxhash64 whose
+    bits vote +-1 into a ``bits``-wide counter vector; the signature is
+    the sign vector packed into a BIGINT. Near-duplicate docs differ in
+    few bits (Hamming), so grouping on the top-k bits or XOR+bit_count
+    thresholds gives a dedup key — all JVM-side, no UDF."""
+    toks = F.array_distinct(F.split(col, split_pattern))
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def step(acc: Column, t: Column) -> Column:
+        h = F.xxhash64(t)
+        votes = F.array(
+            *[
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for b in range(bits)
+            ]
+        )
+        return F.zip_with(acc, votes, lambda a, v: a + v)
+
+    counts = F.aggregate(toks, init, step)
+    weights = F.array(
+        *[
+            F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+            for b in range(bits)
+        ]
+    )
+    # counts appears ONCE (zip_with), so the token fold runs once per row
+    return F.aggregate(
+        F.zip_with(counts, weights, lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def band_keys(sig: Column, bands: int, perms: int) -> Column:
     """array<string> of LSH band keys (concat-hash of each band's rows)."""
     rows = perms // bands
@@ -117,6 +152,24 @@ def add_block_keys(
     ).filter(F.col("mention_id").isNotNull())
 
 
+def _hot_replicas(hot: DataFrame, g: int) -> DataFrame:
+    """Triangle-partition replication: mention m (group g(m)) replicates
+    to the g sub-blocks {(min(g(m),h), max(g(m),h))}. Max sub-block size
+    is ~2s/g for a key of size s — the bound the skew test pins."""
+    hot = hot.withColumn("grp", F.pmod(F.xxhash64("mention_id"), F.lit(g)))
+    return hot.withColumn(
+        "h", F.explode(F.sequence(F.lit(0), F.lit(g - 1)))
+    ).withColumn(
+        "sub_key",
+        F.concat_ws(
+            ":",
+            F.col("block_key"),
+            F.least("grp", "h").cast("string"),
+            F.greatest("grp", "h").cast("string"),
+        ),
+    )
+
+
 def candidate_pairs(keyed: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """(mention_id, norm, block_key) -> (block_key, id_a, norm_a, id_b, norm_b)
 
@@ -143,18 +196,8 @@ def candidate_pairs(keyed: DataFrame, cfg: PipelineConfig | None = None) -> Data
         )
     )
 
-    g = cfg.hot_key_groups
-    hot = keyed.join(F.broadcast(hot_keys), "block_key").withColumn(
-        "grp", F.pmod(F.xxhash64("mention_id"), F.lit(g))
-    )
-    hot = hot.withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(g - 1)))).withColumn(
-        "sub_key",
-        F.concat_ws(
-            ":",
-            F.col("block_key"),
-            F.least("grp", "h").cast("string"),
-            F.greatest("grp", "h").cast("string"),
-        ),
+    hot = _hot_replicas(
+        keyed.join(F.broadcast(hot_keys), "block_key"), cfg.hot_key_groups
     )
     ha, hb = hot.alias("a"), hot.alias("b")
     hot_pairs = (

@@ -112,6 +112,10 @@ def extract_mentions(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lexicon = bc.value
+        # norm memo: surface forms repeat massively across a corpus
+        # (Zipfian mentions), so canonical_word runs once per distinct
+        # (lang, chunk) per worker process, not once per occurrence
+        norm_cache: dict[tuple, str] = {}
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in MENTION_SCHEMA.fields}
 
@@ -128,16 +132,21 @@ def extract_mentions(
             for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
                 m = _matcher_for(lang or "", lexicon, fp, cfg)
                 res = m.tokenize(text or "")
-                ner = res["chunk2ner"]
-                if not ner:
-                    emit(url, lang, res["text"], None, None, None, None, None)
-                    continue
-                for (chunk, start, end), label in ner.items():
-                    norm, _ = m.canonical_word(
-                        chunk, suppress_cjk_tokenize=True, do_lower=True
-                    )
-                    norm = norm.translate(TRANNUM)
-                    emit(url, lang, res["text"], chunk, start, end, label, norm)
+                # ONE sentinel row per document carries the extracted
+                # text; mention rows do NOT repeat it (at 10^12 docs the
+                # duplicated text column would dominate every downstream
+                # shuffle/cache)
+                emit(url, lang, res["text"], None, None, None, None, None)
+                for (chunk, start, end), label in res["chunk2ner"].items():
+                    key = (lang, chunk)
+                    norm = norm_cache.get(key)
+                    if norm is None:
+                        norm, _ = m.canonical_word(
+                            chunk, suppress_cjk_tokenize=True, do_lower=True
+                        )
+                        norm = norm.translate(TRANNUM)
+                        norm_cache[key] = norm
+                    emit(url, lang, None, chunk, start, end, label, norm)
             yield pd.DataFrame(out)
 
     mentions = docs.mapInPandas(run, schema=MENTION_SCHEMA)
@@ -152,9 +161,13 @@ def extract_mentions(
 
 
 def split_outputs(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(extracted(url, text), mentions-only) from the combined stream."""
-    extracted = mentions.groupBy("url").agg(
-        F.first("extracted_text", ignorenulls=True).alias("text")
+    """(extracted(url, text), mentions-only) from the combined stream.
+
+    Extraction emits exactly one sentinel row (mention IS NULL) per
+    document carrying the spliced text, so both splits are shuffle-free
+    filters over the same narrow stage."""
+    extracted = mentions.filter(F.col("mention").isNull()).select(
+        "url", F.col("extracted_text").alias("text")
     )
     only = mentions.filter(F.col("mention").isNotNull()).drop("extracted_text")
     return extracted, only

@@ -14,6 +14,14 @@ import zipfile
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF = {
+    # local mode runs executor + driver in ONE JVM whose default heap is
+    # 1g; with 32 concurrent tasks the unified memory manager then
+    # evicts cached/persisted blocks mid-job and every downstream stage
+    # recomputes its whole lineage (measured: a 2s scoring stage became
+    # 45s at local[32]). Honored at JVM launch when PySpark starts the
+    # gateway; on a real cluster spark-submit sets executor memory and
+    # this default is irrelevant.
+    "spark.driver.memory": os.environ.get("KAWA_SPARK_DRIVER_MEM", "48g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

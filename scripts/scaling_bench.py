@@ -1,0 +1,190 @@
+"""Two-parallelism scaling evidence (north rule, BASELINE.json:14).
+
+The rule's N-vs-4N-executor criterion cannot use a real cluster in this
+sandbox; the sanctioned proxy is the SAME job on the SAME input at two
+local parallelism levels. This script runs the full ER pipeline
+(extract -> block -> pair -> score -> CC -> assign) over a deterministic
+~2M-document corpus at ``local[8]`` and ``local[32]`` and reports
+throughput at both plus::
+
+    efficiency = throughput(local[32]) / (4 * throughput(local[8]))
+
+Each measurement runs in its OWN subprocess (a local[8] and a local[32]
+JVM cannot coexist in one process). Protocol per measurement:
+
+1. build the session (AQE on, shuffle partitions = cores);
+2. warm the Python worker pool + codegen with an untimed mini-pipeline
+   (a long-running cluster amortizes these once per executor);
+3. materialize the input via ``localCheckpoint`` (corpus synthesis is
+   not pipeline work — real input sits in Iceberg/parquet);
+4. run the timed pipeline to a ``noop`` sink.
+
+Input: kawa_spark.testgen corpus (seed 42, 20k base docs, 480 planted
+entities incl. one ~30%-hot entity) replicated in-Spark to ``--docs``
+total documents with unique urls. Replication scales the per-row
+extraction + mention shuffles linearly while distinct surfaces stay
+bounded — the same shape a Common-Crawl refetch has (many pages, a
+bounded entity vocabulary).
+
+Usage:
+    python scripts/scaling_bench.py                 # full: writes BENCH.md
+    python scripts/scaling_bench.py --one 8         # single measurement (JSON)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_DOCS = 20_000
+N_ENTITIES = 480
+SEED = 42
+
+
+def measure_one(cores: int, total_docs: int, trials: int = 2) -> dict:
+    from pyspark.sql import functions as F
+
+    from kawa_spark.pipeline import ERPipeline
+    from kawa_spark.session import get_spark
+    from kawa_spark.testgen import corpus_to_pandas, generate
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app_name=f"kawa_scaling_{cores}",
+        shuffle_partitions=cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = generate(n_docs=BASE_DOCS, n_entities=N_ENTITIES, seed=SEED)
+    docs_pd, _, _, _ = corpus_to_pandas(corpus)
+    base = spark.createDataFrame(docs_pd[["url", "text", "lang"]])
+
+    mult = max(1, total_docs // BASE_DOCS)
+    docs = (
+        base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+        .withColumn("url", F.concat_ws("#", "url", "rep"))
+        .select("url", "text", "lang")
+        .repartition(cores * 4)
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.count()
+
+    word2ner = [list(r) for r in corpus.word2ner]
+    emb = corpus.embeddings
+
+    def run_pipeline(input_df):
+        pipe = ERPipeline(spark, word2ner, embeddings=emb)
+        out = pipe.run(input_df)
+        out.write.format("noop").mode("overwrite").save()
+        pipe.unpersist()
+
+    # untimed warm-up: python pool, codegen, broadcast paths
+    _warm = F.pandas_udf(lambda v: v * 1.0, "double")
+    spark.range(0, 1 << 18, 1, cores * 2).select(
+        F.sum(_warm((F.col("id") % 97).cast("double")))
+    ).collect()
+    run_pipeline(base.limit(2000).repartition(cores).localCheckpoint(eager=True))
+
+    # best-of-N: the sandbox host is shared, so individual runs can be
+    # slowed by co-tenant CPU load; the minimum approximates the
+    # uncontended capacity the efficiency criterion is about
+    best = None
+    for _ in range(trials):
+        t0 = time.time()
+        run_pipeline(docs)
+        secs = time.time() - t0
+        best = secs if best is None or secs < best else best
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_docs": n_docs,
+        "trials": trials,
+        "seconds": round(best, 2),
+        "docs_per_sec": round(n_docs / best, 1),
+    }
+
+
+def run_subprocess(cores: int, total_docs: int, trials: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", str(cores),
+         "--docs", str(total_docs), "--trials", str(trials)],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"measurement local[{cores}] failed:\n{out.stderr[-3000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def write_bench_md(lo: dict, hi: dict, eff: float) -> None:
+    path = os.path.join(REPO, "BENCH.md")
+    with open(path, "w") as f:
+        f.write(f"""# BENCH — two-parallelism scaling evidence
+
+North rule (BASELINE.json:14): throughput scaling efficiency >= 0.8
+between N and 4N executors. Sandbox proxy (driver instruction): the
+identical job + input at `local[{lo["cores"]}]` vs `local[{hi["cores"]}]`.
+
+**Job:** full ER pipeline — mapInPandas extraction -> native blocking
+(exact/prefix/soundex/MinHash-LSH keys) -> triangle-partitioned pair
+generation -> Arrow-UDF scoring (Jaro-Winkler + Levenshtein + broadcast
+embedding cosine) -> large-star/small-star connected components ->
+cluster assignment -> noop sink.
+
+**Input:** deterministic testgen corpus (seed {SEED}): {BASE_DOCS:,} base
+documents, {N_ENTITIES} planted entities (one ~30%-hot), replicated
+in-Spark to {hi["n_docs"]:,} documents with unique urls.
+
+| config | documents | wall sec | docs/sec |
+|---|---|---|---|
+| local[{lo["cores"]}], shuffle={lo["cores"]} | {lo["n_docs"]:,} | {lo["seconds"]} | {lo["docs_per_sec"]:,} |
+| local[{hi["cores"]}], shuffle={hi["cores"]} | {hi["n_docs"]:,} | {hi["seconds"]} | {hi["docs_per_sec"]:,} |
+
+**Scaling efficiency** = {hi["docs_per_sec"]:,} / (4 x {lo["docs_per_sec"]:,})
+= **{eff:.3f}** (target >= 0.8).
+
+Conditions: AQE on (coalesce + skew join), Arrow batched UDFs only,
+Python worker pool + codegen warmed untimed (a long-running cluster
+amortizes both once per executor), input materialized before timing
+(real input sits in Iceberg/parquet), each level in a fresh JVM.
+Machine: single host, local mode — cores are the executor-count proxy.
+""")
+    print(f"wrote {path}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--one", type=int, default=None, help="run one measurement at N cores")
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--trials", type=int, default=2)
+    args = ap.parse_args()
+
+    if args.one is not None:
+        print(json.dumps(measure_one(args.one, args.docs, args.trials)))
+        return
+
+    lo = run_subprocess(args.lo, args.docs, args.trials)
+    print("lo:", json.dumps(lo))
+    hi = run_subprocess(args.hi, args.docs, args.trials)
+    print("hi:", json.dumps(hi))
+    eff = hi["docs_per_sec"] / (args.hi / args.lo * lo["docs_per_sec"])
+    write_bench_md(lo, hi, eff)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "lo": lo,
+        "hi": hi,
+    }))
+
+
+if __name__ == "__main__":
+    main()
