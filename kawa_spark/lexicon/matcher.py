@@ -86,6 +86,11 @@ class KawaMatcher:
         self.ontology: OrderedDict[str, dict] = OrderedDict()
         self._max_idx = 0
         self._rng = random.Random(seed)
+        # read-path memos (invalidated on lexicon mutation): candidate
+        # windows and prefixes repeat massively across a corpus, so the
+        # probe/bounds work runs once per distinct key per process
+        self._bounds_cache: dict[str, tuple[int, int]] = {}
+        self._probe_cache: dict[tuple, tuple[str, str | None]] = {}
         if word2ner:
             self.add_word2ner([list(r) for r in word2ner])
 
@@ -205,6 +210,8 @@ class KawaMatcher:
             word_shingle_cutoff = self.level_cutoff(len(self.ontology))
         level_key = onto_name + str(max_depth - depth)
         ontology = self.ontology.setdefault(level_key, {})
+        self._bounds_cache.clear()
+        self._probe_cache.clear()
         step = self.compound_word_step
         connector = self.connector
 
@@ -362,7 +369,29 @@ class KawaMatcher:
         check_person_org_gpe_caps: bool = True,
     ) -> tuple[str, str | None]:
         """Probe target-language lexicon, then cascade levels deepest-first
-        (ontology_manager.py:550-622). Returns (word, label|None)."""
+        (ontology_manager.py:550-622). Returns (word, label|None).
+
+        Results are memoized per exact argument tuple — the probe is a
+        pure function of the (immutable-between-builds) lexicon."""
+        key = (word, connector, suppress_cjk_tokenize, check_person_org_gpe_caps)
+        hit = self._probe_cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._in_lexicon(
+            word, connector, suppress_cjk_tokenize, check_person_org_gpe_caps
+        )
+        if len(self._probe_cache) >= 1_000_000:  # bound worker memory
+            self._probe_cache.clear()
+        self._probe_cache[key] = out
+        return out
+
+    def _in_lexicon(
+        self,
+        word: str,
+        connector: str | None = None,
+        suppress_cjk_tokenize: bool = False,
+        check_person_org_gpe_caps: bool = True,
+    ) -> tuple[str, str | None]:
         orig_word = word
         step = self.compound_word_step
         if connector is None:
@@ -443,11 +472,15 @@ class KawaMatcher:
 
     def _ngram_bounds(self, start_word: str) -> tuple[int, int]:
         """Zone-map-style scan bounds for compounds starting with a prefix
-        (ontology_manager.py:656-663)."""
+        (ontology_manager.py:656-663). Memoized per prefix."""
+        hit = self._bounds_cache.get(start_word)
+        if hit is not None:
+            return hit
         lo, hi = -1, 100000
         for ontology in self.ontology.values():
             rec = ontology.get(start_word, [lo, hi])
             lo, hi = max(lo, rec[0]), min(hi, rec[1])
+        self._bounds_cache[start_word] = (lo, hi)
         return lo, hi
 
     def cjk_text(self, text: str) -> str:

@@ -87,9 +87,15 @@ def extract_mentions(
     docs: DataFrame,
     word2ner: list,
     cfg: PipelineConfig | None = None,
+    emit_text: bool = True,
 ) -> DataFrame:
     """documents(url, text, lang, ...) -> one row per mention, plus one
     mention-null row per document so every url keeps its extracted text.
+
+    ``emit_text=False`` drops the sentinel rows and the spliced-text
+    column at the SOURCE (clustering never reads them): at 10^12 docs
+    the text column would otherwise ride the Arrow stream and the stage
+    cache only to be filtered later.
 
     The lexicon rides a Spark broadcast; matchers build lazily per
     executor process (heavy init done once, ontology_manager-style)."""
@@ -117,12 +123,18 @@ def extract_mentions(
         # (lang, chunk) per worker process, not once per occurrence
         norm_cache: dict[tuple, str] = {}
         for pdf in batches:
-            out: dict[str, list] = {f.name: [] for f in MENTION_SCHEMA.fields}
+            out: dict[str, list] = {
+                f.name: []
+                for f in MENTION_SCHEMA.fields
+                if emit_text or f.name != "extracted_text"
+            }
+            text_out = out.get("extracted_text")
 
             def emit(url, lang, text2, mention, start, end, label, norm):
                 out["url"].append(url)
                 out["lang"].append(lang)
-                out["extracted_text"].append(text2)
+                if text_out is not None:
+                    text_out.append(text2)
                 out["mention"].append(mention)
                 out["start"].append(start)
                 out["end"].append(end)
@@ -136,7 +148,8 @@ def extract_mentions(
                 # text; mention rows do NOT repeat it (at 10^12 docs the
                 # duplicated text column would dominate every downstream
                 # shuffle/cache)
-                emit(url, lang, res["text"], None, None, None, None, None)
+                if emit_text:
+                    emit(url, lang, res["text"], None, None, None, None, None)
                 for (chunk, start, end), label in res["chunk2ner"].items():
                     key = (lang, chunk)
                     norm = norm_cache.get(key)
@@ -149,7 +162,11 @@ def extract_mentions(
                     emit(url, lang, None, chunk, start, end, label, norm)
             yield pd.DataFrame(out)
 
-    mentions = docs.mapInPandas(run, schema=MENTION_SCHEMA)
+    schema = MENTION_SCHEMA
+    if not emit_text:
+        schema = StructType([f for f in MENTION_SCHEMA.fields if f.name != "extracted_text"])
+
+    mentions = docs.mapInPandas(run, schema=schema)
     # stable mention id (FIXTURES.md §4)
     return mentions.withColumn(
         "mention_id",
