@@ -83,6 +83,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    scaling = None
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            scaling = json.load(f)
     return {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -93,6 +100,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "sf_dir": sf_dir,
         "n_docs": n_docs,
         "er_docs_per_sec": round(n_docs / er_secs, 1) if er_secs else None,
+        "scaling": scaling,
     }
 
 

@@ -43,16 +43,21 @@ def main(cores: int, total_docs: int) -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    from pyspark import StorageLevel
+
     def step(name, df):
         t = time.time()
-        df = df.persist()
-        n = df.count()
-        print(json.dumps({"stage": name, "rows": n, "sec": round(time.time() - t, 2)}))
+        df = df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        print(json.dumps({"stage": name, "sec": round(time.time() - t, 2)}))
         return df
 
     t_all = time.time()
-    mentions_all = step("mentions", extract_mentions(docs, word2ner, cfg))
-    _, mentions = split_outputs(mentions_all)
+    mentions = step(
+        "mentions",
+        extract_mentions(docs, word2ner, cfg, emit_text=False).filter(
+            F.col("mention").isNotNull()
+        ),
+    )
     surfaces = step(
         "surfaces",
         mentions.groupBy("norm").agg(
@@ -69,9 +74,8 @@ def main(cores: int, total_docs: int) -> None:
     edges = step("edges", match_edges(score_pairs(pairs, corpus.embeddings, cfg), cfg))
     t = time.time()
     comp = connected_components(edges, max_iter=cfg.cc_max_iter)
-    comp = comp.persist()
-    ncomp = comp.count()
-    print(json.dumps({"stage": "cc", "rows": ncomp, "sec": round(time.time() - t, 2)}))
+    comp = comp.localCheckpoint(eager=True)
+    print(json.dumps({"stage": "cc", "sec": round(time.time() - t, 2)}))
     t = time.time()
     clusters = assign_surface_clusters(mentions, surfaces, comp)
     clusters.write.format("noop").mode("overwrite").save()

@@ -79,10 +79,13 @@ def measure_one(cores: int, total_docs: int, trials: int = 2) -> dict:
     word2ner = [list(r) for r in corpus.word2ner]
     emb = corpus.embeddings
 
-    def run_pipeline(input_df):
+    def run_pipeline(input_df, report=False):
         pipe = ERPipeline(spark, word2ner, embeddings=emb)
         out = pipe.run(input_df)
         out.write.format("noop").mode("overwrite").save()
+        if report:  # eager stage checkpoints -> these are real stage times
+            for m in pipe.metrics:
+                print(f"  stage {m.name}: {m.seconds:.2f}s", file=sys.stderr)
         pipe.unpersist()
 
     # untimed warm-up: python pool, codegen, broadcast paths
@@ -98,8 +101,9 @@ def measure_one(cores: int, total_docs: int, trials: int = 2) -> dict:
     best = None
     for _ in range(trials):
         t0 = time.time()
-        run_pipeline(docs)
+        run_pipeline(docs, report=True)
         secs = time.time() - t0
+        print(f"  trial: {secs:.2f}s", file=sys.stderr)
         best = secs if best is None or secs < best else best
     spark.stop()
     return {
@@ -171,19 +175,33 @@ def main() -> None:
         print(json.dumps(measure_one(args.one, args.docs, args.trials)))
         return
 
-    lo = run_subprocess(args.lo, args.docs, args.trials)
-    print("lo:", json.dumps(lo))
-    hi = run_subprocess(args.hi, args.docs, args.trials)
-    print("hi:", json.dumps(hi))
+    # interleave lo/hi trials so both levels sample the same co-tenant
+    # contention windows (shared host); best-of per level
+    lo = hi = None
+    for t in range(args.trials):
+        lo_t = run_subprocess(args.lo, args.docs, 1)
+        print(f"lo[{t}]:", json.dumps(lo_t))
+        hi_t = run_subprocess(args.hi, args.docs, 1)
+        print(f"hi[{t}]:", json.dumps(hi_t))
+        if lo is None or lo_t["seconds"] < lo["seconds"]:
+            lo = lo_t
+        if hi is None or hi_t["seconds"] < hi["seconds"]:
+            hi = hi_t
+    lo["trials"] = hi["trials"] = args.trials
     eff = hi["docs_per_sec"] / (args.hi / args.lo * lo["docs_per_sec"])
     write_bench_md(lo, hi, eff)
-    print(json.dumps({
+    result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "lo": lo,
         "hi": hi,
-    }))
+    }
+    # persisted so bench.py can embed the scaling evidence in its
+    # driver-facing JSON line
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
