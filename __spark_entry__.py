@@ -122,7 +122,8 @@ _COMMON_SQL: dict[str, str] = {
     "length_predicates": """
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS n_long
+               CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_long
         FROM documents
         WHERE n_chars BETWEEN 50 AND 520
         GROUP BY source
@@ -130,8 +131,9 @@ _COMMON_SQL: dict[str, str] = {
     # P6 — URL/email-like rejection predicate (counts per source)
     "url_reject_counts": """
         SELECT source,
-               SUM(CASE WHEN text LIKE '%@%' OR text LIKE '%www%'
-                        OR text LIKE '%.com%' THEN 1 ELSE 0 END) AS n_urlish,
+               CAST(SUM(CASE WHEN text LIKE '%@%' OR text LIKE '%www%'
+                        OR text LIKE '%.com%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_urlish,
                COUNT(*) AS n_total
         FROM documents
         GROUP BY source
@@ -211,10 +213,10 @@ _COMMON_SQL: dict[str, str] = {
     # A9 — lang × source pivot via conditional aggregation
     "pivot_lang_source": """
         SELECT lang,
-               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
-               SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1,
-               SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2,
-               SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+               CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+               CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+               CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3,
                COUNT(*) AS total
         FROM documents
         GROUP BY lang
@@ -289,7 +291,7 @@ def _q_window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT event_type,
                COUNT(*) AS n_gaps,
-               SUM(gap) AS sum_gap
+               CAST(SUM(gap) AS BIGINT) AS sum_gap
         FROM (
             SELECT event_type,
                    unix_timestamp(ts)
@@ -318,8 +320,10 @@ def _q_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = ",".join(f"'{w}'" for w in STOPWORDS)
     return spark.sql(f"""
         SELECT lang,
-               SUM(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END) AS n_stop,
-               SUM(CASE WHEN tok NOT IN ({sw}) THEN 1 ELSE 0 END) AS n_content
+               CAST(SUM(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stop,
+               CAST(SUM(CASE WHEN tok NOT IN ({sw}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_content
         FROM (SELECT lang, explode(split(text, ' ')) AS tok FROM documents) t
         GROUP BY lang
     """)
@@ -367,10 +371,12 @@ def _q_regex_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return spark.sql("""
         SELECT lang,
-               SUM(CASE WHEN tok RLIKE '^[0-9]+$' THEN 1 ELSE 0 END) AS n_numeric,
-               SUM(CASE WHEN tok RLIKE '^[a-z]+$' THEN 1 ELSE 0 END) AS n_alpha,
-               SUM(CASE WHEN tok RLIKE '[0-9]' AND tok RLIKE '[a-z]'
-                        THEN 1 ELSE 0 END) AS n_mixed
+               CAST(SUM(CASE WHEN tok RLIKE '^[0-9]+$' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_numeric,
+               CAST(SUM(CASE WHEN tok RLIKE '^[a-z]+$' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alpha,
+               CAST(SUM(CASE WHEN tok RLIKE '[0-9]' AND tok RLIKE '[a-z]'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
         FROM (SELECT lang, explode(split(text, ' ')) AS tok FROM documents) t
         GROUP BY lang
     """)
@@ -416,7 +422,8 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"""
         SELECT doc_id,
                COUNT(*) AS n_toks,
-               SUM(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END) AS n_stop,
+               CAST(SUM(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stop,
                ROUND(SUM(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END)
                      / CAST(COUNT(*) AS DOUBLE), 4) AS stop_ratio,
                ROUND(SUM(length(tok)) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_tok_len
@@ -621,16 +628,35 @@ def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-def _q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # phonetic blocking keys (Spark built-in soundex; DuckDB lacks
-    # soundex → rows-only check)
-    _views(spark, sf_dir)
-    return spark.sql("""
-        SELECT soundex(split_part(p_name, ' ', 2)) AS sx_key,
+# Portable soundex-style phonetic key (first letter + consonant digit
+# classes, vowels/H/W/Y dropped, padded to 4). Identical SQL runs on both
+# engines — RE2-safe (no backreferences), so unlike Spark's built-in
+# soundex it gets a real DuckDB oracle gate. The pipeline's blocking key
+# itself uses Spark's native soundex (operators/blocking.py, pytest-gated).
+# single translate: consonants -> digit class; trailing from-chars
+# (vowels/H/W/Y) have no to-char -> deleted (same rule in both engines;
+# DuckDB's regexp_replace would need the non-portable 'g' flag instead)
+_PHONETIC_KEY_SQL = (
+    "rpad(substr(concat(upper(substr({w}, 1, 1)),"
+    " translate(upper(substr({w}, 2)),"
+    " 'BFPVCGJKQSXZDTLMNRAEIOUYHW', '111122222222334556')), 1, 4), 4, '0')"
+)
+
+
+def _soundex_blocks_sql() -> str:
+    key = _PHONETIC_KEY_SQL.format(w="split_part(p_name, ' ', 2)")
+    return f"""
+        SELECT {key} AS sx_key,
                COUNT(DISTINCT p_name) AS n_forms
         FROM part
         GROUP BY sx_key
-    """)
+    """
+
+
+def _q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F16 — phonetic blocking keys over surface forms
+    _views(spark, sf_dir)
+    return spark.sql(_soundex_blocks_sql())
 
 
 def _q_er_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,8 +728,10 @@ def oracle_sql() -> dict[str, str]:
             """,
             "stopword_filter": f"""
                 SELECT lang,
-                       SUM(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END) AS n_stop,
-                       SUM(CASE WHEN tok NOT IN ({sw}) THEN 1 ELSE 0 END) AS n_content
+                       CAST(SUM(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_stop,
+                       CAST(SUM(CASE WHEN tok NOT IN ({sw}) THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_content
                 FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
                       FROM documents) t
                 GROUP BY lang
@@ -735,13 +763,13 @@ def oracle_sql() -> dict[str, str]:
             """,
             "regex_ner_counts": """
                 SELECT lang,
-                       SUM(CASE WHEN regexp_matches(tok, '^[0-9]+$')
-                                THEN 1 ELSE 0 END) AS n_numeric,
-                       SUM(CASE WHEN regexp_matches(tok, '^[a-z]+$')
-                                THEN 1 ELSE 0 END) AS n_alpha,
-                       SUM(CASE WHEN regexp_matches(tok, '[0-9]')
+                       CAST(SUM(CASE WHEN regexp_matches(tok, '^[0-9]+$')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+                       CAST(SUM(CASE WHEN regexp_matches(tok, '^[a-z]+$')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+                       CAST(SUM(CASE WHEN regexp_matches(tok, '[0-9]')
                                  AND regexp_matches(tok, '[a-z]')
-                                THEN 1 ELSE 0 END) AS n_mixed
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
                 FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
                       FROM documents) t
                 GROUP BY lang
@@ -749,7 +777,7 @@ def oracle_sql() -> dict[str, str]:
             "window_lag_gaps": """
                 SELECT event_type,
                        COUNT(*) AS n_gaps,
-                       SUM(gap) AS sum_gap
+                       CAST(SUM(gap) AS BIGINT) AS sum_gap
                 FROM (
                     SELECT event_type,
                            CAST(floor(epoch(ts)) AS BIGINT)
@@ -778,7 +806,8 @@ def oracle_sql() -> dict[str, str]:
             "quality_score": f"""
                 SELECT doc_id,
                        COUNT(*) AS n_toks,
-                       SUM(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END) AS n_stop,
+                       CAST(SUM(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_stop,
                        ROUND(SUM(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END)
                              / CAST(COUNT(*) AS DOUBLE), 4) AS stop_ratio,
                        ROUND(SUM(length(tok)) / CAST(COUNT(*) AS DOUBLE), 4)
@@ -888,8 +917,9 @@ def oracle_sql() -> dict[str, str]:
         }
     )
     # dialect fix: Spark's split_part exists in DuckDB too; levenshtein
-    # exists in both — block_pairs_lev stays common. soundex_blocks and
-    # the ER pipeline queries are rows-only (no DuckDB equivalent).
+    # exists in both — block_pairs_lev stays common. The ER pipeline
+    # queries are rows-only (clustering is pytest-gated at F1>=0.99).
+    oracles["soundex_blocks"] = _soundex_blocks_sql()
     return oracles
 
 
