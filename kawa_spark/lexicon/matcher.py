@@ -32,7 +32,9 @@ for determinism or because the reference code path is unrunnable
 
 from __future__ import annotations
 
+import gzip
 import itertools
+import json
 import math
 import random
 from collections import Counter, OrderedDict
@@ -352,6 +354,74 @@ class KawaMatcher:
                     else:
                         exact[folded] = [0, 0, {"*": [[rec[1]]]}]
                 self.ontology[onto_name + str(max_depth)] = exact
+                # the in_lexicon probes above memoized PRE-correction
+                # results; the exact level exists precisely to change
+                # them, so the caches must not outlive this mutation
+                self._bounds_cache.clear()
+                self._probe_cache.clear()
+
+    # ------------------------------------------------------------------
+    # lexicon persistence (S5) + target-language lexicon (J5)
+    # ------------------------------------------------------------------
+
+    def set_target_lang_lexicon(self, word2label: dict[str, str]) -> None:
+        """Install the per-language override lexicon probed FIRST by
+        in_lexicon (ontology_manager.py:556-563): keys are canonical
+        lowercase forms (digit-folded variants are added automatically,
+        matching the word/word0 probe pair). Clears the probe memo —
+        this changes probe results."""
+        lex: dict[str, str] = {}
+        for word, label in word2label.items():
+            w, _ = self.canonical_word(word, do_lower=True)
+            lex[w] = label
+            lex[w.translate(TRANNUM)] = label
+        self.target_lang_lexicon = lex
+        self._probe_cache.clear()
+        self._bounds_cache.clear()
+
+    def save(self, path: str) -> None:
+        """Persist the BUILT cascade as gzip JSON — the reference's
+        ontology.json.gz artifact (ontology_manager.py:219-229) with the
+        build config alongside, so a load skips the full add_word2ner
+        rebuild (at ~10^7 surface forms the rebuild is a real per-job
+        cost) and still reproduces probe-identical behavior."""
+        state = {
+            "format": "kawa_spark_lexicon_v1",
+            "target_lang": self.target_lang,
+            "connector": self.connector,
+            "compound_word_step": self.compound_word_step,
+            "word_shingle_cutoff": self.word_shingle_cutoff,
+            "strip_chars": self.strip_chars,
+            "max_idx": self._max_idx,
+            "target_lang_lexicon": self.target_lang_lexicon,
+            "ontology": self.ontology,
+        }
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "wt", encoding="utf8") as f:
+            json.dump(state, f)
+
+    @classmethod
+    def load(cls, path: str, **overrides) -> "KawaMatcher":
+        """Inverse of save (ontology_manager.py:176-217). The cascade is
+        installed as-is; no rebuild. ``overrides`` pass through to the
+        constructor (stopwords, tag_type, ...)."""
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt", encoding="utf8") as f:
+            state = json.load(f)
+        if state.get("format") != "kawa_spark_lexicon_v1":
+            raise ValueError(f"{path}: not a kawa_spark lexicon file")
+        m = cls(
+            overrides.pop("target_lang", state["target_lang"]),
+            connector=state["connector"],
+            compound_word_step=state["compound_word_step"],
+            word_shingle_cutoff=state["word_shingle_cutoff"],
+            strip_chars=state["strip_chars"],
+            **overrides,
+        )
+        m.ontology = OrderedDict(state["ontology"])
+        m.target_lang_lexicon = dict(state["target_lang_lexicon"])
+        m._max_idx = state["max_idx"]
+        return m
 
     # ------------------------------------------------------------------
     # membership probe

@@ -68,6 +68,19 @@ def _matcher_for(lang: str, word2ner: list, fp: str, cfg: PipelineConfig) -> Kaw
     return m
 
 
+def _matcher_from_file(lang: str, path: str) -> KawaMatcher:
+    """Per-(path, lang) matcher loaded from a saved cascade (S5): the
+    gzip-JSON artifact is read once per executor process per language —
+    no per-job add_word2ner rebuild. ``path`` must be visible to the
+    executors (shared FS / distributed cache via --files)."""
+    key = (path, lang)
+    m = _MATCHER_CACHE.get(key)
+    if m is None:
+        m = KawaMatcher.load(path, target_lang=lang)
+        _MATCHER_CACHE[key] = m
+    return m
+
+
 def _lexicon_fingerprint(word2ner: list) -> str:
     h = hashlib.sha1()
     for rec in word2ner:
@@ -85,9 +98,10 @@ def normalize_whitespace(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def extract_mentions(
     docs: DataFrame,
-    word2ner: list,
+    word2ner: list | None,
     cfg: PipelineConfig | None = None,
     emit_text: bool = True,
+    lexicon_path: str | None = None,
 ) -> DataFrame:
     """documents(url, text, lang, ...) -> one row per mention, plus one
     mention-null row per document so every url keeps its extracted text.
@@ -101,8 +115,11 @@ def extract_mentions(
     executor process (heavy init done once, ontology_manager-style)."""
     cfg = cfg or PipelineConfig()
     spark = docs.sparkSession
-    fp = _lexicon_fingerprint(word2ner)
-    bc = spark.sparkContext.broadcast(word2ner)
+    if word2ner is None and lexicon_path is None:
+        raise ValueError("extract_mentions needs word2ner or lexicon_path")
+    # saved-cascade mode ships only the path; seed-list mode broadcasts
+    fp = _lexicon_fingerprint(word2ner) if word2ner is not None else None
+    bc = spark.sparkContext.broadcast(word2ner) if word2ner is not None else None
     connector = cfg.connector
 
     docs = normalize_whitespace(docs.select("url", "text", "lang"))
@@ -117,7 +134,7 @@ def extract_mentions(
         docs = docs.repartition(parallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lexicon = bc.value
+        lexicon = bc.value if bc is not None else None
         # norm memo: surface forms repeat massively across a corpus
         # (Zipfian mentions), so canonical_word runs once per distinct
         # (lang, chunk) per worker process, not once per occurrence
@@ -142,7 +159,10 @@ def extract_mentions(
                 out["norm"].append(norm)
 
             for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
-                m = _matcher_for(lang or "", lexicon, fp, cfg)
+                if lexicon is not None:
+                    m = _matcher_for(lang or "", lexicon, fp, cfg)
+                else:
+                    m = _matcher_from_file(lang or "", lexicon_path)
                 res = m.tokenize(text or "")
                 # ONE sentinel row per document carries the extracted
                 # text; mention rows do NOT repeat it (at 10^12 docs the
@@ -158,6 +178,11 @@ def extract_mentions(
                             chunk, suppress_cjk_tokenize=True, do_lower=True
                         )
                         norm = norm.translate(TRANNUM)
+                        if len(norm_cache) >= 1_000_000:
+                            # same worker-memory bound as the matcher's
+                            # _probe_cache: high-cardinality vocabularies
+                            # (CJK, digit-heavy) must not grow unbounded
+                            norm_cache.clear()
                         norm_cache[key] = norm
                     emit(url, lang, None, chunk, start, end, label, norm)
             yield pd.DataFrame(out)

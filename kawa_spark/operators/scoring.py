@@ -65,11 +65,109 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     return jaro + prefix * prefix_weight * (1 - jaro)
 
 
+# strings longer than this fall back to the scalar path (surface forms
+# are overwhelmingly short; the batch matrices are (n, _JW_MAXLEN))
+_JW_MAXLEN = 64
+
+
+def _codepoint_matrix(strs: list[str], width: int) -> np.ndarray:
+    """(n, width) uint32 codepoint matrix, zero-padded (NUL never occurs
+    in surface forms, so 0 is a safe pad sentinel). One NUL-padded join
+    + one encode: ~5x cheaper than per-string encode/frombuffer/assign."""
+    buf = "".join(s[:width].ljust(width, "\0") for s in strs)
+    return np.frombuffer(buf.encode("utf-32-le"), dtype=np.uint32).reshape(
+        len(strs), width
+    )
+
+
+def jaro_winkler_batch(
+    a: list[str], b: list[str], prefix_weight: float = 0.1
+) -> np.ndarray:
+    """Vectorized Jaro-Winkler over pair batches: numpy ops across all
+    pairs at once, a Python loop only over character positions (<=64).
+    Exactly matches the scalar ``jaro_winkler`` (pinned by pytest);
+    scoring is the hottest O(candidate-pairs) loop in the pipeline, so
+    this replaces the per-row-Python inner loop the round-1 review
+    flagged."""
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    if not n:
+        return out
+    a = ["" if x is None else x for x in a]
+    b = ["" if x is None else x for x in b]
+    len1 = np.fromiter((len(x) for x in a), dtype=np.int64, count=n)
+    len2 = np.fromiter((len(x) for x in b), dtype=np.int64, count=n)
+
+    big = (len1 > _JW_MAXLEN) | (len2 > _JW_MAXLEN)
+    if big.any():
+        for i in np.flatnonzero(big):
+            out[i] = jaro_winkler(a[i], b[i], prefix_weight)
+
+    # exact equality (includes empty==empty -> 1.0, like the scalar)
+    eq_rows = np.fromiter((x == y for x, y in zip(a, b)), dtype=bool, count=n)
+    out[eq_rows & ~big] = 1.0
+
+    todo = ~eq_rows & ~big & (len1 > 0) & (len2 > 0)
+    if not todo.any():
+        return out
+    idx = np.flatnonzero(todo)
+    l1, l2 = len1[idx], len2[idx]
+    # width = longest live string, not _JW_MAXLEN: every inner op is
+    # O(n*width), and surface forms are mostly <16 chars
+    width = int(max(l1.max(), l2.max()))
+    A = _codepoint_matrix([a[i] for i in idx], width)
+    B = _codepoint_matrix([b[i] for i in idx], width)
+    m = len(idx)
+    window = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)[:, None]
+    cols = np.arange(width)
+    flags1 = np.zeros((m, width), dtype=bool)
+    flags2 = np.zeros((m, width), dtype=bool)
+    rows = np.arange(m)
+    # open2[r, j] = "j is a live match target in row r" (unflagged, < l2);
+    # B==0 pad cells never equal a real codepoint so l2 needs no mask.
+    open2 = B != 0
+    for i in range(int(l1.max())):
+        # |i - j| <= window is the Jaro match window; rows with l1 <= i
+        # contribute no A char (A pad cell is 0, matching nothing).
+        cand = (B == A[:, i, None]) & open2 & (np.abs(cols - i) <= window)
+        hit = cand.any(axis=1)
+        j = cand.argmax(axis=1)  # first unflagged equal char in window
+        open2[rows[hit], j[hit]] = False
+        flags1[hit, i] = True
+    flags2 = (B != 0) & ~open2
+
+    matches = flags1.sum(axis=1)
+    # matched subsequences in row order: scatter by running match index
+    pos1 = np.cumsum(flags1, axis=1, dtype=np.int32) - 1
+    pos2 = np.cumsum(flags2, axis=1, dtype=np.int32) - 1
+    M1 = np.zeros((m, width), dtype=np.uint32)
+    M2 = np.zeros((m, width), dtype=np.uint32)
+    r1, c1 = np.nonzero(flags1)
+    r2, c2 = np.nonzero(flags2)
+    M1[r1, pos1[r1, c1]] = A[r1, c1]
+    M2[r2, pos2[r2, c2]] = B[r2, c2]
+    t_raw = ((M1 != M2) & (cols < matches[:, None])).sum(axis=1)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (
+            matches / l1
+            + matches / l2
+            + (matches - t_raw / 2) / np.maximum(matches, 1)
+        ) / 3.0
+    jaro = np.where(matches > 0, jaro, 0.0)
+
+    p4 = (A[:, :4] == B[:, :4]) & (A[:, :4] != 0) & (B[:, :4] != 0)
+    prefix = np.cumprod(p4, axis=1).sum(axis=1)
+    score = np.where(
+        matches > 0, jaro + prefix * prefix_weight * (1.0 - jaro), 0.0
+    )
+    out[idx] = score
+    return out
+
+
 @F.pandas_udf(DoubleType())
 def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
-    )
+    return pd.Series(jaro_winkler_batch(a.tolist(), b.tolist()), dtype="float64")
 
 
 def make_cosine_udf(spark, embeddings: dict[str, np.ndarray], connector: str = "_"):

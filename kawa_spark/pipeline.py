@@ -47,13 +47,21 @@ class ERPipeline:
     def __init__(
         self,
         spark: SparkSession,
-        word2ner: list,
+        word2ner: list | None = None,
         embeddings: dict[str, np.ndarray] | None = None,
         cfg: PipelineConfig | None = None,
         out_dir: str | None = None,
+        lexicon_path: str | None = None,
     ):
+        """Lexicon source: either ``word2ner`` seed records (broadcast,
+        cascade built per executor) or ``lexicon_path`` — a saved
+        ``KawaMatcher.save`` gzip-JSON artifact loaded without rebuild
+        (S5; reference ontology_manager.py:176-229)."""
+        if word2ner is None and lexicon_path is None:
+            raise ValueError("ERPipeline needs word2ner or lexicon_path")
         self.spark = spark
         self.word2ner = word2ner
+        self.lexicon_path = lexicon_path
         self.embeddings = embeddings or {}
         self.cfg = cfg or DEFAULT_CONFIG
         self.out_dir = out_dir
@@ -128,6 +136,20 @@ class ERPipeline:
         t0 = time.time()
         return self._write_stage(name, compute(), t0)
 
+    def _fusable_stage(self, name: str, resume: bool, compute) -> DataFrame:
+        """Stage with exactly one downstream consumer: with a checkpoint
+        dir it behaves like _stage (durable parquet + manifest, the
+        resume contract); without one it stays LAZY — no materialization
+        barrier, the work fuses into the consumer's job. block_keys /
+        pairs / edges qualify: nothing re-reads them, their recompute
+        roots at the nearest checkpointed stage (surfaces), and CC
+        eagerly checkpoints its own input anyway (cc.py), so an extra
+        eager copy here only added a serial barrier + a duplicate pass."""
+        if self.out_dir:
+            return self._stage(name, resume, compute)
+        self.metrics.append(StageResult(name, -1, 0.0, False))
+        return compute()
+
     # ---------------- the pipeline ----------------
 
     def run(self, docs: DataFrame, resume: bool = False) -> DataFrame:
@@ -139,7 +161,8 @@ class ERPipeline:
             "mentions",
             resume,
             lambda: extract_mentions(
-                docs, self.word2ner, cfg, emit_text=False
+                docs, self.word2ner, cfg, emit_text=False,
+                lexicon_path=self.lexicon_path,
             ).filter(F.col("mention").isNotNull()),
         )
 
@@ -158,6 +181,9 @@ class ERPipeline:
             ),
         )
 
+        # block_keys stays EAGER even without out_dir: candidate_pairs
+        # scans it ~5x (hot-key count + cold/hot self-join sides), and
+        # each lazy rescan would re-run the MinHash fold
         keyed = self._stage(
             "block_keys",
             resume,
@@ -168,8 +194,10 @@ class ERPipeline:
                 cfg,
             ),
         )
-        pairs = self._stage("pairs", resume, lambda: candidate_pairs(keyed, cfg))
-        edges = self._stage(
+        pairs = self._fusable_stage(
+            "pairs", resume, lambda: candidate_pairs(keyed, cfg)
+        )
+        edges = self._fusable_stage(
             "edges",
             resume,
             lambda: match_edges(score_pairs(pairs, self.embeddings, cfg), cfg),
@@ -192,5 +220,9 @@ class ERPipeline:
 
     def extracted_text(self, docs: DataFrame) -> DataFrame:
         """(url, text) after extraction splice — the byte-identity surface."""
-        extracted, _ = split_outputs(extract_mentions(docs, self.word2ner, self.cfg))
+        extracted, _ = split_outputs(
+            extract_mentions(
+                docs, self.word2ner, self.cfg, lexicon_path=self.lexicon_path
+            )
+        )
         return extracted

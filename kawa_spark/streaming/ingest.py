@@ -66,8 +66,7 @@ class StreamingERIngest:
             .groupBy("norm")
             .agg(F.min("mention_id").alias("surface_id"))
         )
-        sdir = os.path.join(self.state_dir, "surfaces")
-        old = self._read_optional(sdir)
+        old = self._read_optional(self._surfaces_path())
         if old is not None:
             # union-dedup: keep the first-seen surface_id (stable min)
             all_s = (
@@ -77,14 +76,18 @@ class StreamingERIngest:
             )
         else:
             all_s = new_surfaces
-        tmp = sdir + f".tmp{batch_id}"
-        all_s.write.mode("overwrite").parquet(tmp)
-        self._swap(tmp, sdir)
+        # versioned dir + atomic pointer flip: the previous version stays
+        # on disk for in-flight readers, and a crash before the flip
+        # leaves the old pointer (and table) fully intact — unlike an
+        # rmtree+rename swap, which has a window with NO surfaces table
+        vdir = os.path.join(self.state_dir, f"surfaces_v{batch_id}")
+        all_s.write.mode("overwrite").parquet(vdir)
+        self._flip_pointer(vdir)
 
         # pair NEW surfaces against the full surface table (new-new +
         # new-old) — blocking keys bound the join exactly as in batch
         keyed_all = add_block_keys(
-            self.spark.read.parquet(sdir).select(
+            self.spark.read.parquet(self._surfaces_path()).select(
                 F.col("surface_id").alias("mention_id"), "norm"
             ),
             cfg,
@@ -108,7 +111,7 @@ class StreamingERIngest:
         canonicalization; cheap — edges are surface-level)."""
         edges = self.spark.read.parquet(os.path.join(self.state_dir, "edges"))
         comp = connected_components(edges, max_iter=self.cfg.cc_max_iter)
-        surfaces = self.spark.read.parquet(os.path.join(self.state_dir, "surfaces"))
+        surfaces = self.spark.read.parquet(self._surfaces_path())
         return (
             surfaces.join(comp, surfaces["surface_id"] == comp["node"], "left")
             .withColumn("cluster_id", F.coalesce("component", "surface_id"))
@@ -136,15 +139,38 @@ class StreamingERIngest:
     # ----------------------- helpers -----------------------
 
     def _read_optional(self, path: str) -> DataFrame | None:
+        if path is None:
+            return None
         try:
             return self.spark.read.parquet(path)
         except Exception:
             return None
 
-    @staticmethod
-    def _swap(tmp: str, final: str) -> None:
+    def _pointer_file(self) -> str:
+        return os.path.join(self.state_dir, "surfaces_CURRENT")
+
+    def _surfaces_path(self) -> str | None:
+        """Resolve the live surfaces version via the pointer file."""
+        try:
+            with open(self._pointer_file()) as f:
+                return os.path.join(self.state_dir, f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _flip_pointer(self, vdir: str) -> None:
+        """Single atomic rename of a one-line pointer file; keeps the
+        previous version directory for concurrent readers and prunes
+        older ones. On object stores, replace this local-FS pointer with
+        the catalog's atomic snapshot commit (the Iceberg path)."""
+        prev = self._surfaces_path()
+        ptr, tmp = self._pointer_file(), self._pointer_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(vdir))
+        os.replace(tmp, ptr)
+        # prune versions older than the one readers may still hold
         import shutil
 
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        keep = {os.path.basename(vdir), prev and os.path.basename(prev)}
+        for name in os.listdir(self.state_dir):
+            if name.startswith("surfaces_v") and name not in keep:
+                shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)

@@ -192,3 +192,83 @@ class TestOracleOnCorpus:
                     found += 1
         assert total_docs == 40
         assert found > 20, f"too few planted mentions recovered: {found}"
+
+
+class TestPersistence:
+    """S5: save/load the BUILT cascade (ontology_manager.py:176-229)."""
+
+    def test_roundtrip_identical_ontology_and_probes(self, tmp_path):
+        corpus = generate(n_docs=10, n_entities=40, seed=3)
+        m = mk([list(r) for r in corpus.word2ner])
+        path = str(tmp_path / "lexicon.json.gz")
+        m.save(path)
+        m2 = KawaMatcher.load(path)
+        assert m2.ontology == m.ontology
+        assert m2.connector == m.connector
+        # probe parity on every seed word + some non-words
+        for rec in corpus.word2ner:
+            assert m2.in_lexicon(rec[0]) == m.in_lexicon(rec[0])
+        for w in ("zzz_unknown", "the", "Barack Obama"):
+            assert m2.in_lexicon(w) == m.in_lexicon(w)
+
+    def test_tokenize_byte_identity_after_load(self, tmp_path):
+        corpus = generate(n_docs=8, n_entities=30, seed=5)
+        m = mk([list(r) for r in corpus.word2ner])
+        path = str(tmp_path / "lex.json.gz")
+        m.save(path)
+        m2 = KawaMatcher.load(path)
+        for doc in corpus.documents:
+            a, b = m.tokenize(doc["text"]), m2.tokenize(doc["text"])
+            assert a["text"] == b["text"]
+            assert a["chunk2ner"] == b["chunk2ner"]
+
+    def test_load_rejects_foreign_file(self, tmp_path):
+        p = tmp_path / "x.json"
+        p.write_text('{"something": 1}')
+        with pytest.raises(ValueError):
+            KawaMatcher.load(str(p))
+
+
+class TestTargetLangLexicon:
+    """J5: the per-language override lexicon is probed FIRST
+    (ontology_manager.py:556-563)."""
+
+    def test_override_beats_cascade(self):
+        m = mk([["acme_corp", "ORG"], ["rivertown", "GPE"]])
+        assert m.in_lexicon("Acme Corp")[1] == "ORG"
+        m.set_target_lang_lexicon({"Acme Corp": "PRODUCT"})
+        assert m.in_lexicon("Acme Corp")[1] == "PRODUCT"
+        # untouched words still resolve through the cascade
+        assert m.in_lexicon("Rivertown")[1] == "GPE"
+
+    def test_digit_folded_probe(self):
+        m = mk()
+        m.set_target_lang_lexicon({"area 51": "LOCATION"})
+        # the folded form (digit->1) is probed as word0
+        assert m.in_lexicon("area 51")[1] == "LOCATION"
+
+    def test_survives_save_load(self, tmp_path):
+        m = mk([["acme_corp", "ORG"]])
+        m.set_target_lang_lexicon({"acme corp": "PRODUCT"})
+        path = str(tmp_path / "l.json.gz")
+        m.save(path)
+        m2 = KawaMatcher.load(path)
+        assert m2.in_lexicon("acme corp")[1] == "PRODUCT"
+
+
+class TestExactLevelCacheInvalidation:
+    def test_probe_after_build_sees_exact_corrections(self):
+        """The depth-1 exact level mutates the ontology after build
+        probes populated the memo; the memo must not serve stale
+        pre-correction labels (round-1 advice)."""
+        # two records that collide on shingles with conflicting labels
+        # force requeue down to the exact level
+        w2n = [
+            ["blue_falcon", "ORG"],
+            ["blue_falcons", "PRODUCT"],
+            ["blue_falconx", "EVENT"],
+        ]
+        m = mk([list(r) for r in w2n])
+        for word, label, *_ in w2n:
+            got = m.in_lexicon(word, check_person_org_gpe_caps=False)[1]
+            assert got == label, (word, got, label)

@@ -111,6 +111,32 @@ class TestScoring:
         assert jaro_winkler("abc", "abc") == 1.0
         assert jaro_winkler("abc", "xyz") == 0.0
 
+    def test_jaro_winkler_batch_matches_scalar(self):
+        """The numpy-vectorized batch path (the pair-scoring hot loop)
+        must agree with the scalar reference on every pair, including
+        empties, CJK, transpositions, and >64-char fallback rows."""
+        import random
+
+        from kawa_spark.operators.scoring import jaro_winkler_batch
+
+        rng = random.Random(11)
+        alpha = "abcdef 北京xyz"
+        cases = [
+            ("", ""), ("", "a"), ("a", ""), ("a", "a"), ("ab", "ba"),
+            ("martha", "marhta"), ("dixon", "dicksonx"),
+            ("x" * 70, "x" * 70 + "y"), (None, "a"),
+        ]
+        for _ in range(2000):
+            la, lb = rng.randint(0, 14), rng.randint(0, 14)
+            cases.append(
+                ("".join(rng.choice(alpha) for _ in range(la)),
+                 "".join(rng.choice(alpha) for _ in range(lb)))
+            )
+        got = jaro_winkler_batch([c[0] for c in cases], [c[1] for c in cases])
+        for i, (x, y) in enumerate(cases):
+            want = jaro_winkler(x or "", y or "")
+            assert got[i] == pytest.approx(want, abs=1e-12), (x, y)
+
     def test_score_pipeline(self, spark, corpus):
         pdf = pd.DataFrame(
             {
@@ -163,3 +189,23 @@ class TestEndToEnd:
         ).collect()
         assert sorted(map(tuple, first)) == sorted(map(tuple, second))
         assert all(m.resumed for m in pipe2.metrics), pipe2.metrics
+
+
+class TestLexiconPathPipeline:
+    def test_pipeline_from_saved_lexicon_matches_word2ner(
+        self, spark, corpus, docs_df, tmp_path
+    ):
+        """S5 end-to-end: ERPipeline(lexicon_path=...) must produce the
+        same clusters as the word2ner-broadcast path."""
+        from kawa_spark.lexicon.matcher import KawaMatcher
+        from kawa_spark.pipeline import ERPipeline
+
+        w2n = [list(r) for r in corpus.word2ner]
+        path = str(tmp_path / "lexicon.json.gz")
+        KawaMatcher("", word2ner=[list(r) for r in w2n]).save(path)
+
+        a = ERPipeline(spark, word2ner=w2n).run(docs_df)
+        b = ERPipeline(spark, lexicon_path=path).run(docs_df)
+        rows_a = {(r["mention_id"], r["cluster_id"]) for r in a.collect()}
+        rows_b = {(r["mention_id"], r["cluster_id"]) for r in b.collect()}
+        assert rows_a == rows_b
