@@ -366,20 +366,243 @@ def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# documents.text is seeded word salad with no PII shapes, so the regex
+# corpus unions in deterministic PII-ish strings built from events ints
+# (identical strings on both engines — integer concat only, no floats)
+_REGEX_CORPUS_SQL = """
+    SELECT text FROM documents
+    UNION ALL
+    SELECT concat('reach u', user_id, '@mail', user_id % 7,
+                  '.example.org on 2024-03-',
+                  lpad(concat('', user_id % 27 + 1), 2, '0'),
+                  ' at 1', user_id % 10, ':45 pm, invoice $',
+                  user_id % 900 + 100, '.50 from 10.', user_id % 200,
+                  '.0.', event_id % 250, ' card 4', event_id % 900 + 100,
+                  ' 5', user_id % 900 + 100, ' 6789 0123 ssn 123-45-',
+                  1000 + event_id % 9000, ' PO Box ', event_id % 5000,
+                  ' code A', 10 + event_id % 80, '.1') AS text
+    FROM events WHERE event_id % 37 = 0
+"""
+
+
 def _q_regex_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P10 — regex NER predicate counts (patterns kept RE2/Java-common)
+    # P10 — the reference's regex-NER pass (EMAIL/DATE/PHONE/IP/PRICE/...,
+    # ontology_builder_data.py:23-43) with priority masking: pattern k
+    # extracts from text with patterns 0..k-1 blanked. Same pattern
+    # constants render the DuckDB oracle (kawa_spark/lexicon/regexes.py).
+    from kawa_spark.lexicon.regexes import regex_ner_counts_sql
+
     _views(spark, sf_dir)
-    return spark.sql("""
-        SELECT lang,
-               CAST(SUM(CASE WHEN tok RLIKE '^[0-9]+$' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_numeric,
-               CAST(SUM(CASE WHEN tok RLIKE '^[a-z]+$' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_alpha,
-               CAST(SUM(CASE WHEN tok RLIKE '[0-9]' AND tok RLIKE '[a-z]'
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
-        FROM (SELECT lang, explode(split(text, ' ')) AS tok FROM documents) t
-        GROUP BY lang
+    return spark.sql(
+        f"WITH corpus AS ({_REGEX_CORPUS_SQL})\n"
+        + regex_ner_counts_sql("spark", table="corpus")
+    )
+
+
+def _q_synonym_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2 — cross-lingual synonym pivot (create_eng2multilang_dict,
+    # ontology_builder.py:283-353) exercised on a deterministic
+    # synonym-edge table derived from nation: exactly-one-English pairs
+    # orient en -> other; the en word joins its own group.
+    from kawa_spark.lexicon_etl import synonym_pivot_tables
+
+    _views(spark, sf_dir)
+    edges = spark.sql("""
+        SELECT 'Synonym' AS rel,
+               CASE WHEN n_nationkey % 4 = 0
+                    THEN concat('l', n_regionkey) ELSE 'en' END AS lang_a,
+               lower(n_name) AS word_a,
+               CASE WHEN n_nationkey % 3 = 0
+                    THEN 'en' ELSE concat('m', n_regionkey) END AS lang_b,
+               reverse(lower(n_name)) AS word_b
+        FROM nation
     """)
+    en_pivot, _, _ = synonym_pivot_tables(edges)
+    return en_pivot.select("en_word", "word")
+
+
+_SYNONYM_PIVOT_ORACLE = """
+    WITH e AS (
+        SELECT CASE WHEN n_nationkey % 4 = 0
+                    THEN concat('l', n_regionkey) ELSE 'en' END AS lang_a,
+               trim(translate(lower(n_name), ' -', '__'), '.') AS word_a,
+               CASE WHEN n_nationkey % 3 = 0
+                    THEN 'en' ELSE concat('m', n_regionkey) END AS lang_b,
+               trim(translate(reverse(lower(n_name)), ' -', '__'), '.') AS word_b
+        FROM nation
+    ),
+    one_en AS (
+        SELECT * FROM e
+        WHERE word_a <> word_b AND ((lang_a = 'en') <> (lang_b = 'en'))
+    ),
+    oriented AS (
+        SELECT CASE WHEN lang_a = 'en' THEN word_a ELSE word_b END AS en_word,
+               CASE WHEN lang_a = 'en' THEN word_b ELSE word_a END AS word
+        FROM one_en
+    )
+    SELECT DISTINCT en_word, word FROM (
+        SELECT en_word, word FROM oriented
+        UNION ALL
+        SELECT en_word, en_word AS word FROM oriented
+    ) u
+"""
+
+
+def _q_hypernym_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G2 — transitive hypernym closure (ontology_builder.py:522,692-706)
+    # via path doubling, over the deterministic 3-tier p_type word DAG
+    # (finish tier -> coating tier -> grade tier).
+    from kawa_spark.lexicon_etl import hypernym_closure
+
+    _views(spark, sf_dir)
+    edges = spark.sql("""
+        SELECT DISTINCT split_part(p_type, ' ', 3) AS child,
+                        split_part(p_type, ' ', 2) AS parent
+        FROM part
+        UNION
+        SELECT DISTINCT split_part(p_type, ' ', 2) AS child,
+                        split_part(p_type, ' ', 1) AS parent
+        FROM part
+    """)
+    return hypernym_closure(edges, max_depth=8).select(
+        "descendant", "ancestor", F.col("depth").cast("int").alias("depth")
+    )
+
+
+_HYPERNYM_CLOSURE_ORACLE = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT split_part(p_type, ' ', 3) AS child,
+                        split_part(p_type, ' ', 2) AS parent
+        FROM part
+        UNION
+        SELECT DISTINCT split_part(p_type, ' ', 2) AS child,
+                        split_part(p_type, ' ', 1) AS parent
+        FROM part
+    ),
+    reach AS (
+        SELECT child AS descendant, parent AS ancestor, 1 AS depth FROM edges
+        UNION ALL
+        SELECT r.descendant, e.parent AS ancestor, r.depth + 1
+        FROM reach r JOIN edges e ON r.ancestor = e.child
+        WHERE r.depth < 8
+    )
+    SELECT descendant, ancestor, CAST(MIN(depth) AS INT) AS depth
+    FROM reach GROUP BY descendant, ancestor
+"""
+
+
+def _q_embed_weighted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6 — count-weighted mean embedding merge (ontology_kb.py:1252-1265)
+    # through the real applyInPandas UDAF; rows exploded per dimension so
+    # the value-hash compares scalars (float32 storage rounded to 3dp).
+    from kawa_spark.sources.embeddings import merge_embeddings
+
+    _views(spark, sf_dir)
+    src = spark.sql("""
+        SELECT concat('g', CAST(vec_id % 10 AS STRING)) AS word,
+               transform(embedding, x -> CAST(x AS FLOAT)) AS vec,
+               CAST(vec_id + 1 AS INT) AS cnt
+        FROM embeddings
+        WHERE vec_id < 120
+    """)
+    merged = merge_embeddings(src, min_cnt=4)
+    return merged.select(
+        "word",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.posexplode("vec").alias("dim", "raw"),
+    ).select(
+        "word", "cnt",
+        (F.col("dim") + 1).cast("int").alias("dim"),
+        # + 0.0 canonicalizes IEEE negative zero (both engines)
+        (F.round(F.col("raw").cast("double"), 3) + F.lit(0.0)).alias("val"),
+    )
+
+
+_EMBED_MERGE_ORACLE = """
+    WITH src AS (
+        SELECT 'g' || CAST(vec_id % 10 AS VARCHAR) AS word,
+               embedding AS vec,
+               vec_id + 1 AS cnt
+        FROM embeddings WHERE vec_id < 120
+    ),
+    tot AS (
+        SELECT word, SUM(cnt) AS total, MAX(cnt) AS mx
+        FROM src GROUP BY word
+    ),
+    ex AS (
+        SELECT s.word, s.cnt, i.i AS dim,
+               CAST(s.vec[CAST(i.i AS INT)] AS DOUBLE) AS val
+        FROM src s, LATERAL (
+            SELECT unnest(generate_series(1, len(s.vec))) AS i
+        ) i
+    ),
+    agg AS (
+        SELECT word, dim, SUM(val * cnt) AS num
+        FROM ex GROUP BY word, dim
+    )
+    SELECT a.word,
+           CAST(greatest(4, t.mx) AS BIGINT) AS cnt,
+           CAST(a.dim AS INT) AS dim,
+           ROUND(CAST(CAST(a.num / t.total AS FLOAT) AS DOUBLE), 3) + 0.0 AS val
+    FROM agg a JOIN tot t ON a.word = t.word
+"""
+
+
+def _q_wikiann_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4 — wikiann gold-merge override guard (ontology_builder.py:1263-66)
+    # on two deterministic word->category tables from the part vocabulary
+    # (word positions 1 and 2 overlap heavily).
+    from kawa_spark.lexicon_etl import merge_wikiann_overrides
+
+    _views(spark, sf_dir)
+    built = spark.sql("""
+        SELECT word, MIN(category) AS category FROM (
+            SELECT lower(split_part(p_name, ' ', 1)) AS word,
+                   element_at(array('FAC','GPE','LANGUAGE','PRODUCT','EVENT'),
+                              CAST(p_partkey % 5 AS INT) + 1) AS category
+            FROM part
+        ) t GROUP BY word
+    """)
+    wikiann = spark.sql("""
+        SELECT word, MIN(category) AS category FROM (
+            SELECT lower(split_part(p_name, ' ', 2)) AS word,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'LOCATION' ELSE 'ORG' END
+                       AS category
+            FROM part
+        ) t GROUP BY word
+    """)
+    return merge_wikiann_overrides(built, wikiann)
+
+
+_WIKIANN_MERGE_ORACLE = """
+    WITH built AS (
+        SELECT word, MIN(category) AS category FROM (
+            SELECT lower(split_part(p_name, ' ', 1)) AS word,
+                   (['FAC','GPE','LANGUAGE','PRODUCT','EVENT'])
+                       [CAST(p_partkey % 5 AS INT) + 1] AS category
+            FROM part
+        ) t GROUP BY word
+    ),
+    wk AS (
+        SELECT word, MIN(category) AS wk_cat FROM (
+            SELECT lower(split_part(p_name, ' ', 2)) AS word,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'LOCATION' ELSE 'ORG' END
+                       AS category
+            FROM part
+        ) t GROUP BY word
+    )
+    SELECT COALESCE(b.word, w.word) AS word,
+           CASE WHEN w.wk_cat IS NULL THEN b.category
+                WHEN b.category IS NULL THEN w.wk_cat
+                WHEN w.wk_cat = 'LOCATION' AND b.category IN ('FAC','GPE')
+                     THEN b.category
+                WHEN w.wk_cat = 'ORG' AND b.category IN
+                     ('LANGUAGE','RACE','RELIGION','NORP','UNION',
+                      'SOC_ECO_CLASS','POLITICAL_PARTY')
+                     THEN b.category
+                ELSE w.wk_cat END AS category
+    FROM built b FULL OUTER JOIN wk w ON b.word = w.word
+"""
 
 
 def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,6 +882,98 @@ def _q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_soundex_blocks_sql())
 
 
+# shared Spark/DuckDB SQL for the deterministic 3-level hierarchy the
+# cluster_hygiene query sweeps (word -> min brand -> min mfgr)
+_HIER_SQL = """
+    SELECT concat('w:', word) AS id, concat('b:', MIN(brand)) AS parent,
+           0 AS level
+    FROM (SELECT lower(split_part(p_name, ' ', 1)) AS word,
+                 p_brand AS brand FROM part) t
+    GROUP BY word
+    UNION ALL
+    SELECT concat('b:', brand) AS id, concat('m:', MIN(mfgr)) AS parent,
+           1 AS level
+    FROM (SELECT DISTINCT p_brand AS brand,
+                          substr(p_brand, 7, 1) AS mfgr FROM part) t
+    GROUP BY brand
+    UNION ALL
+    SELECT DISTINCT concat('m:', substr(p_brand, 7, 1)) AS id,
+           NULL AS parent, 2 AS level
+    FROM part
+"""
+
+
+def _q_cluster_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G5 — min-cluster-size dissolution + reattach one level up
+    # (cleanup_kb, ontology_kb.py:1091-1096) over the 3-level part-word
+    # hierarchy; single bottom-up sweep, means disabled so the gate is
+    # purely structural (A5 means are gated by embed_weighted_merge +
+    # pytest).
+    from kawa_spark.operators.hierarchy import cluster_hygiene
+
+    _views(spark, sf_dir)
+    nodes = spark.sql(_HIER_SQL).withColumn(
+        "vec", F.array(F.lit(0.0).cast("float"))
+    )
+    new, _deleted = cluster_hygiene(
+        nodes, min_cluster_size=5, recompute_means=False
+    )
+    return new.select("id", "parent", F.col("level").cast("int").alias("level"))
+
+
+_CLUSTER_HYGIENE_ORACLE = f"""
+    WITH nodes AS ({_HIER_SQL}),
+    w AS (SELECT * FROM nodes WHERE level = 0),
+    b AS (SELECT * FROM nodes WHERE level = 1),
+    m AS (SELECT * FROM nodes WHERE level = 2),
+    c1 AS (SELECT parent, COUNT(*) AS n FROM w GROUP BY parent),
+    small_b AS (
+        SELECT b.id, b.parent AS grandparent
+        FROM b LEFT JOIN c1 ON b.id = c1.parent
+        WHERE COALESCE(c1.n, 0) < 5
+    ),
+    w2 AS (
+        SELECT w.id,
+               CASE WHEN s.id IS NOT NULL THEN s.grandparent
+                    ELSE w.parent END AS parent,
+               0 AS level
+        FROM w LEFT JOIN small_b s ON w.parent = s.id
+    ),
+    b2 AS (SELECT * FROM b WHERE id NOT IN (SELECT id FROM small_b)),
+    c2 AS (SELECT parent, COUNT(*) AS n FROM b2 GROUP BY parent),
+    small_m AS (
+        SELECT m.id, m.parent AS grandparent
+        FROM m LEFT JOIN c2 ON m.id = c2.parent
+        WHERE COALESCE(c2.n, 0) < 5
+    ),
+    b3 AS (
+        SELECT b2.id,
+               CASE WHEN s.id IS NOT NULL THEN s.grandparent
+                    ELSE b2.parent END AS parent,
+               1 AS level
+        FROM b2 LEFT JOIN small_m s ON b2.parent = s.id
+    ),
+    -- the level-2 reattach applies to ANY child of a dissolved mfgr,
+    -- including level-0 words that cascaded up in the level-1 sweep
+    w3 AS (
+        SELECT w2.id,
+               CASE WHEN s.id IS NOT NULL THEN s.grandparent
+                    ELSE w2.parent END AS parent,
+               0 AS level
+        FROM w2 LEFT JOIN small_m s ON w2.parent = s.id
+    ),
+    m2 AS (
+        SELECT id, parent, 2 AS level FROM m
+        WHERE id NOT IN (SELECT id FROM small_m)
+    )
+    SELECT id, parent, CAST(level AS INT) AS level FROM w3
+    UNION ALL
+    SELECT id, parent, CAST(level AS INT) AS level FROM b3
+    UNION ALL
+    SELECT id, parent, CAST(level AS INT) AS level FROM m2
+"""
+
+
 def _q_er_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extraction stage (mapInPandas greedy matcher) — rows-only; parity
     # vs the pure-Python oracle is pinned byte-identically in pytest.
@@ -702,6 +1017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_lsh": _q_ann_lsh,
             "binary_meta": _q_binary_meta,
             "soundex_blocks": _q_soundex_blocks,
+            "synonym_pivot": _q_synonym_pivot,
+            "hypernym_closure": _q_hypernym_closure,
+            "embed_weighted_merge": _q_embed_weighted_merge,
+            "wikiann_merge": _q_wikiann_merge,
+            "cluster_hygiene": _q_cluster_hygiene,
             "er_mentions": _q_er_mentions,
             "er_clusters": _q_er_clusters,
         }
@@ -712,6 +1032,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracle_sql — DuckDB dialect
 # --------------------------------------------------------------------------
+
+def _regex_oracle() -> str:
+    from kawa_spark.lexicon.regexes import regex_ner_counts_sql
+
+    return (
+        f"WITH corpus AS ({_REGEX_CORPUS_SQL})\n"
+        + regex_ner_counts_sql("duckdb", table="corpus")
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     sw = ",".join(f"'{w}'" for w in STOPWORDS)
@@ -761,19 +1090,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
                 GROUP BY lang, script
             """,
-            "regex_ner_counts": """
-                SELECT lang,
-                       CAST(SUM(CASE WHEN regexp_matches(tok, '^[0-9]+$')
-                                THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
-                       CAST(SUM(CASE WHEN regexp_matches(tok, '^[a-z]+$')
-                                THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
-                       CAST(SUM(CASE WHEN regexp_matches(tok, '[0-9]')
-                                 AND regexp_matches(tok, '[a-z]')
-                                THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
-                FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
-                      FROM documents) t
-                GROUP BY lang
-            """,
+            "regex_ner_counts": _regex_oracle(),
+            "synonym_pivot": _SYNONYM_PIVOT_ORACLE,
+            "hypernym_closure": _HYPERNYM_CLOSURE_ORACLE,
+            "embed_weighted_merge": _EMBED_MERGE_ORACLE,
+            "wikiann_merge": _WIKIANN_MERGE_ORACLE,
+            "cluster_hygiene": _CLUSTER_HYGIENE_ORACLE,
             "window_lag_gaps": """
                 SELECT event_type,
                        COUNT(*) AS n_gaps,

@@ -81,19 +81,26 @@ def wn_category_counts(
     """Top-percent WordNet category cut (A3, ontology_builder.py:104-110).
 
     wn_concepts: (category) one row per occurrence. Keeps categories with
-    count > 1, ranked by frequency, top ``keep_percentage`` fraction."""
+    count > 1, ranked by frequency, top ``keep_percentage`` fraction.
+
+    Plan note: the cut is orderBy + limit — Spark executes that as
+    TakeOrdered (per-partition top-k + driver merge), fully parallel. A
+    ``row_number`` over an unpartitioned window would funnel every
+    category row through ONE task (the round-1 review's finding)."""
     counts = (
         wn_concepts.groupBy("category")
         .count()
         .filter(F.col("count") > 1)
         .filter(~F.col("category").rlike("^[0-9]"))
-    )
-    ranked = counts.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("count"), "category"))
+        .localCheckpoint(eager=True)  # reused by count() and the top-k
     )
     total = counts.count()
     keep = max(1, int(total * keep_percentage))
-    return ranked.filter(F.col("rank") <= keep).select("category", "count")
+    return (
+        counts.orderBy(F.desc("count"), "category")
+        .limit(keep)
+        .select("category", "count")
+    )
 
 
 def word_category_map(word_cats: DataFrame) -> DataFrame:
@@ -289,6 +296,282 @@ def bfs_expand(
             break
         known = known.union(frontier).distinct().localCheckpoint(eager=True)
     return known
+
+
+def normalize_word(col):
+    """The reference's word normalizer applied before every dict insert
+    (ontology_builder.py:313-314): space/hyphen -> connector, lowercase,
+    strip trailing/leading dots. Pure column expression."""
+    return F.trim(
+        F.translate(F.lower(col), " -", "__"), trim=F.lit(".")
+    )
+
+
+def synonym_pivot_tables(
+    edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """J2 — the cross-lingual synonym dictionary
+    (create_eng2multilang_dict, ontology_builder.py:283-353) as three
+    DataFrames instead of three driver-side dicts:
+
+    * ``en_pivot``  (en_word, word)  — the reference's ``en`` dict:
+      every Synonym pair with exactly one English side, keyed by the
+      English word; the English word itself is a member of its own group
+      (the reference appends ``val = [a, b]`` with a = the en side).
+    * ``word2en``   (word, en_word)  — the inverse probe table.
+    * ``word2lang`` (word, lang)     — language memberships from BOTH
+      sides of every Synonym row (before the en filter, as the
+      reference populates word2lang first).
+
+    Input: parsed ConceptNet edges (rel, lang_a, word_a, lang_b, word_b)
+    from :func:`parse_conceptnet_edges`. All-native; the mt5 CJK
+    re-segmentation (ontology_builder.py:322-326) is replaced by the
+    repo's deterministic segmenter convention (SURVEY Appendix B D4 —
+    transformers is unavailable), which the matcher applies uniformly.
+
+    Scale shape: groupBy/distinct only — no driver dict; at full
+    ConceptNet (~30M assertion rows) each output is a shuffled distinct
+    over a few hundred MB."""
+    syn = edges.filter(F.col("rel") == "Synonym").select(
+        "lang_a",
+        normalize_word(F.col("word_a")).alias("word_a"),
+        "lang_b",
+        normalize_word(F.col("word_b")).alias("word_b"),
+    )
+    word2lang = (
+        syn.select(F.col("word_a").alias("word"), F.col("lang_a").alias("lang"))
+        .unionByName(
+            syn.select(F.col("word_b").alias("word"), F.col("lang_b").alias("lang"))
+        )
+        .distinct()
+    )
+    # exactly one side English; orient en -> other (the reference swap)
+    one_en = syn.filter(
+        (F.col("word_a") != F.col("word_b"))
+        & ((F.col("lang_a") == "en") != (F.col("lang_b") == "en"))
+    )
+    oriented = one_en.select(
+        F.when(F.col("lang_a") == "en", F.col("word_a"))
+        .otherwise(F.col("word_b"))
+        .alias("en_word"),
+        F.when(F.col("lang_a") == "en", F.col("word_b"))
+        .otherwise(F.col("word_a"))
+        .alias("word"),
+    )
+    en_pivot = (
+        oriented.select("en_word", "word")
+        .unionByName(oriented.select("en_word", F.col("en_word").alias("word")))
+        .distinct()
+    )
+    word2en = en_pivot.select("word", "en_word").distinct()
+    return en_pivot, word2en, word2lang
+
+
+def expand_labels_crosslingual(
+    seeds: DataFrame,
+    en_pivot: DataFrame,
+    word2en: DataFrame,
+    block_list: DataFrame | None = None,
+    rounds: int = 3,
+    cut_off_abs: int = 5,
+    cut_off_per: float = 0.5,
+) -> DataFrame:
+    """J2 consumer — per-label multilingual expansion over the en-pivot
+    graph (create_multilingual_examples, ontology_builder.py:1172-1207),
+    all labels in one distributed job instead of one driver loop per
+    label.
+
+    Per round, mirroring the reference exactly:
+
+    1. candidate synonyms = en_pivot members of accepted en pivots;
+    2. drop any candidate whose word2en set touches the (label-scoped)
+       block list (``has_any``);
+    3. accept a candidate iff its UNKNOWN en-pivots (not yet accepted
+       for that label) number < ``cut_off_abs`` AND are < ``cut_off_per``
+       of its en-pivot set;
+    4. unknown en-pivots seen >1 time become next round's accepted
+       pivots (the reference's ``Counter(added2) > 1`` vote).
+
+    seeds: (word, label) English seed words; block_list: (word, label)
+    or (word) applied to every label. Returns (word, label) distinct —
+    the union of accepted synonyms and accepted en pivots."""
+    seeds = seeds.select(
+        normalize_word(F.col("word")).alias("en_word"), "label"
+    ).distinct()
+    if block_list is None:
+        blocked = None
+    else:
+        cols = block_list.columns
+        blocked = block_list.select(
+            normalize_word(F.col("word")).alias("en_word"),
+            *( [F.col("label")] if "label" in cols else [] ),
+        ).distinct()
+
+    # per-word en-pivot degree (denominator of the unknown ratio)
+    en_degree = word2en.groupBy("word").agg(F.count("*").alias("en_degree"))
+    # words whose en-pivot set touches the block list are never accepted
+    if blocked is not None:
+        if "label" in blocked.columns:
+            word_blocked = word2en.join(blocked, "en_word").select(
+                "word", "label"
+            ).distinct()
+        else:
+            word_blocked = word2en.join(blocked, "en_word").select("word").distinct()
+    else:
+        word_blocked = None
+
+    accepted_en = seeds.localCheckpoint(eager=True)  # (en_word, label)
+    frontier = accepted_en
+    out_words = None  # (word, label) accepted synonyms
+    for _ in range(rounds):
+        cand = (
+            en_pivot.join(frontier, "en_word")
+            .select("word", "label")
+            .distinct()
+        )
+        if word_blocked is not None:
+            on = ["word", "label"] if "label" in word_blocked.columns else ["word"]
+            cand = cand.join(word_blocked, on, "left_anti")
+        # unknown en-pivots per (candidate word, label)
+        pivots = cand.join(word2en, "word")  # (word, label, en_word)
+        unknown = pivots.join(accepted_en, ["en_word", "label"], "left_anti")
+        unk_counts = unknown.groupBy("word", "label").agg(
+            F.count("*").alias("n_unknown")
+        )
+        stats = (
+            cand.join(unk_counts, ["word", "label"], "left")
+            .withColumn("n_unknown", F.coalesce("n_unknown", F.lit(0)))
+            .join(en_degree, "word")
+        )
+        ok = stats.filter(
+            (F.col("n_unknown") < cut_off_abs)
+            & (F.col("n_unknown") < F.col("en_degree") * cut_off_per)
+        ).select("word", "label")
+        ok = ok.localCheckpoint(eager=True)
+        out_words = ok if out_words is None else out_words.unionByName(ok).distinct()
+
+        # next frontier: unknown en-pivots of ACCEPTED words with >1 vote
+        votes = (
+            unknown.join(ok, ["word", "label"], "left_semi")
+            .groupBy("en_word", "label")
+            .agg(F.count("*").alias("votes"))
+            .filter(F.col("votes") > 1)
+            .select("en_word", "label")
+        )
+        frontier = votes.join(accepted_en, ["en_word", "label"], "left_anti")
+        frontier = frontier.localCheckpoint(eager=True)
+        if not frontier.take(1):
+            break
+        accepted_en = (
+            accepted_en.unionByName(frontier).distinct().localCheckpoint(eager=True)
+        )
+    result = accepted_en.select(F.col("en_word").alias("word"), "label")
+    if out_words is not None:
+        result = result.unionByName(out_words)
+    return result.distinct()
+
+
+# J4 — wikiann gold-merge override guard (fix_and_enhance_word2ner,
+# ontology_builder.py:1263-1266): a wikiann label overrides the built
+# lexicon's label UNLESS the existing label is a finer-grained type the
+# wikiann coarse type would clobber.
+WIKIANN_KEEP_EXISTING = {
+    "LOCATION": ("FAC", "GPE"),
+    "ORG": (
+        "LANGUAGE", "RACE", "RELIGION", "NORP", "UNION",
+        "SOC_ECO_CLASS", "POLITICAL_PARTY",
+    ),
+}
+
+
+def merge_wikiann_overrides(
+    word2cat: DataFrame, wikiann: DataFrame
+) -> DataFrame:
+    """J4: (word, category) built lexicon x (word, category) wikiann gold
+    -> merged (word, category) with the reference's keep-existing guard.
+    Broadcast-sized right side (wikiann is ~10^5 rows/lang)."""
+    keep_cond = F.lit(False)
+    for wk_cat, existing in WIKIANN_KEEP_EXISTING.items():
+        keep_cond = keep_cond | (
+            (F.col("wk_cat") == wk_cat) & F.col("category").isin(list(existing))
+        )
+    wk = wikiann.select("word", F.col("category").alias("wk_cat"))
+    return (
+        word2cat.join(wk, "word", "full_outer")
+        .withColumn(
+            "category",
+            F.when(F.col("wk_cat").isNull(), F.col("category"))
+            .when(F.col("category").isNull(), F.col("wk_cat"))
+            .when(keep_cond, F.col("category"))
+            .otherwise(F.col("wk_cat")),
+        )
+        .select("word", "category")
+    )
+
+
+def hypernym_closure(
+    edges: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """G2 — transitive hypernym/hyponym closure
+    (wn.synset(...).closure(hyponyms), ontology_builder.py:522,692-706)
+    as iterative DataFrame doubling instead of an in-memory graph walk.
+
+    edges: (child, parent) direct edges. Returns (descendant, ancestor,
+    depth) for every ancestor within ``max_depth`` hops — path doubling
+    (reach(2k) = reach(k) JOIN reach(k)) needs only ceil(log2(depth))
+    shuffles, so a depth-8 taxonomy closes in 3 joins. Used to expand a
+    category seed set to all leaf descendants (the reference collects
+    lemmas of leaf hyponyms)."""
+    reach = (
+        edges.select(
+            F.col("child").alias("descendant"),
+            F.col("parent").alias("ancestor"),
+            F.lit(1).alias("depth"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hops = 1
+    while hops < max_depth:
+        nxt = (
+            reach.alias("a")
+            .join(
+                reach.alias("b"),
+                F.col("a.ancestor") == F.col("b.descendant"),
+            )
+            .select(
+                F.col("a.descendant").alias("descendant"),
+                F.col("b.ancestor").alias("ancestor"),
+                (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+            )
+            .filter(F.col("depth") <= max_depth)
+        )
+        merged = (
+            reach.unionByName(nxt)
+            .groupBy("descendant", "ancestor")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if merged.count() == reach.count():
+            reach = merged
+            break
+        reach = merged
+        hops *= 2
+    return reach
+
+
+def leaf_descendants(edges: DataFrame, roots: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Leaves under each root category — the reference's
+    ``closure(hyponyms) if not d.hyponyms()`` filter: descendants of the
+    root that are not themselves parents."""
+    closure = hypernym_closure(edges, max_depth)
+    parents = edges.select(F.col("parent").alias("descendant")).distinct()
+    return (
+        closure.join(roots.select(F.col("root").alias("ancestor")), "ancestor")
+        .join(parents, "descendant", "left_anti")
+        .select(F.col("ancestor").alias("root"), F.col("descendant").alias("leaf"))
+        .distinct()
+    )
 
 
 def build_word2ner(words: DataFrame) -> list[list]:

@@ -171,3 +171,156 @@ class TestBfsExpand:
         )
         recs = build_word2ner(df)
         assert recs == [["a", "Y", 0.0, 0], ["b", "X", 0.0, 1]]
+
+
+class TestSynonymPivot:
+    """J2: create_eng2multilang_dict (ontology_builder.py:283-353)."""
+
+    def _edges(self, spark):
+        rows = [
+            # (rel, lang_a, word_a, lang_b, word_b)
+            ("Synonym", "en", "dog", "es", "perro"),
+            ("Synonym", "fr", "chien", "en", "dog"),     # swapped orientation
+            ("Synonym", "en", "dog", "en", "hound"),     # en-en: excluded
+            ("Synonym", "es", "perro", "fr", "chien"),   # no en: excluded
+            ("Synonym", "en", "Big Cat", "de", "Gross-Katze"),  # normalization
+            ("IsA", "en", "dog", "es", "animal"),        # wrong rel
+        ]
+        return spark.createDataFrame(
+            rows, "rel string, lang_a string, word_a string, lang_b string, word_b string"
+        )
+
+    def test_pivot_tables(self, spark):
+        from kawa_spark.lexicon_etl import synonym_pivot_tables
+
+        en_pivot, word2en, word2lang = synonym_pivot_tables(self._edges(spark))
+        piv = {(r.en_word, r.word) for r in en_pivot.collect()}
+        # en word is a member of its own group; normalized forms
+        assert ("dog", "dog") in piv
+        assert ("dog", "perro") in piv
+        assert ("dog", "chien") in piv
+        assert ("big_cat", "gross_katze") in piv
+        assert ("dog", "hound") not in piv          # en-en excluded
+        w2e = {(r.word, r.en_word) for r in word2en.collect()}
+        assert ("perro", "dog") in w2e and ("chien", "dog") in w2e
+        langs = {(r.word, r.lang) for r in word2lang.collect()}
+        # word2lang is populated from BOTH sides before the en filter
+        assert ("perro", "es") in langs and ("hound", "en") in langs
+
+    def test_expand_labels(self, spark):
+        from kawa_spark.lexicon_etl import (
+            expand_labels_crosslingual,
+            synonym_pivot_tables,
+        )
+
+        en_pivot, word2en, _ = synonym_pivot_tables(self._edges(spark))
+        seeds = spark.createDataFrame([("dog", "ANIMAL")], "word string, label string")
+        out = {
+            (r.word, r.label)
+            for r in expand_labels_crosslingual(seeds, en_pivot, word2en).collect()
+        }
+        # all members of dog's pivot group get the label (each has exactly
+        # one en-pivot = dog, which is known -> 0 unknown -> accepted)
+        assert ("perro", "ANIMAL") in out
+        assert ("chien", "ANIMAL") in out
+        assert ("dog", "ANIMAL") in out
+        assert ("gross_katze", "ANIMAL") not in out
+
+    def test_expand_respects_block_list(self, spark):
+        from kawa_spark.lexicon_etl import (
+            expand_labels_crosslingual,
+            synonym_pivot_tables,
+        )
+
+        en_pivot, word2en, _ = synonym_pivot_tables(self._edges(spark))
+        seeds = spark.createDataFrame([("dog", "ANIMAL")], "word string, label string")
+        block = spark.createDataFrame([("dog",)], "word string")
+        out = {
+            (r.word, r.label)
+            for r in expand_labels_crosslingual(
+                seeds, en_pivot, word2en, block_list=block
+            ).collect()
+        }
+        # every candidate's en-pivot set touches the blocked word ->
+        # only the seed pivot itself survives
+        assert ("perro", "ANIMAL") not in out
+        assert ("dog", "ANIMAL") in out
+
+
+class TestWikiannMerge:
+    """J4: fix_and_enhance_word2ner override guard
+    (ontology_builder.py:1263-1266)."""
+
+    def test_override_and_keep_rules(self, spark):
+        from kawa_spark.lexicon_etl import merge_wikiann_overrides
+
+        built = spark.createDataFrame(
+            [
+                ("paris", "GPE"),          # LOCATION wikiann must NOT clobber
+                ("acme", "PRODUCT"),       # ORG wikiann overrides
+                ("esperanto", "LANGUAGE"), # ORG wikiann must NOT clobber
+                ("only_built", "EVENT"),
+            ],
+            "word string, category string",
+        )
+        wikiann = spark.createDataFrame(
+            [
+                ("paris", "LOCATION"),
+                ("acme", "ORG"),
+                ("esperanto", "ORG"),
+                ("only_wikiann", "PUBLIC_FIGURE"),
+            ],
+            "word string, category string",
+        )
+        got = {r.word: r.category for r in merge_wikiann_overrides(built, wikiann).collect()}
+        assert got["paris"] == "GPE"
+        assert got["acme"] == "ORG"
+        assert got["esperanto"] == "LANGUAGE"
+        assert got["only_built"] == "EVENT"
+        assert got["only_wikiann"] == "PUBLIC_FIGURE"
+
+
+class TestHypernymClosure:
+    """G2: WordNet-style closure (ontology_builder.py:522,692-706)."""
+
+    def _edges(self, spark):
+        rows = [
+            ("poodle", "dog"), ("beagle", "dog"), ("dog", "canine"),
+            ("canine", "animal"), ("cat", "animal"), ("siamese", "cat"),
+        ]
+        return spark.createDataFrame(rows, "child string, parent string")
+
+    def test_closure_depths(self, spark):
+        from kawa_spark.lexicon_etl import hypernym_closure
+
+        reach = {
+            (r.descendant, r.ancestor): r.depth
+            for r in hypernym_closure(self._edges(spark)).collect()
+        }
+        assert reach[("poodle", "dog")] == 1
+        assert reach[("poodle", "canine")] == 2
+        assert reach[("poodle", "animal")] == 3
+        assert ("dog", "poodle") not in reach  # directed
+
+    def test_leaf_descendants(self, spark):
+        from kawa_spark.lexicon_etl import leaf_descendants
+
+        roots = spark.createDataFrame([("animal",)], "root string")
+        leaves = {
+            r.leaf for r in leaf_descendants(self._edges(spark), roots).collect()
+        }
+        # leaves only: dog/cat/canine are parents themselves
+        assert leaves == {"poodle", "beagle", "siamese"}
+
+    def test_max_depth_bound(self, spark):
+        from kawa_spark.lexicon_etl import hypernym_closure
+
+        chain = spark.createDataFrame(
+            [(f"n{i}", f"n{i+1}") for i in range(6)], "child string, parent string"
+        )
+        reach = {
+            (r.descendant, r.ancestor)
+            for r in hypernym_closure(chain, max_depth=3).collect()
+        }
+        assert ("n0", "n3") in reach
+        assert ("n0", "n4") not in reach
