@@ -21,6 +21,13 @@ class PipelineConfig:
     hot_key_threshold: int = 2000  # mentions per block key before triangle split
     hot_key_groups: int = 8
     max_pairs_per_key: int | None = None  # None = exact (triangle-partitioned)
+    # opt-in Arrow-UDF key spaces (F16): double-metaphone primary or
+    # secondary + Latin transliteration skeleton. Default off — the
+    # native soundex/prefix/MinHash keys cover the Latin fast path
+    # without Python workers in the blocking stage; enable for
+    # cross-script corpora or higher phonetic recall.
+    metaphone_keys: bool = False
+    translit_keys: bool = False
     # scoring
     jw_weight: float = 0.4
     lev_weight: float = 0.3

@@ -147,6 +147,18 @@ def add_block_keys(
         cfg.minhash_perms,
     )
     keys = F.array_union(F.array(exact, prefix, sdx), mh)
+    if cfg.metaphone_keys or cfg.translit_keys:
+        # F16 opt-in Arrow-UDF keys; cost is O(distinct surfaces), not
+        # O(pairs) — the blocking stage runs over deduped norms
+        from .phonetic import dm_primary_udf, dm_secondary_udf, latin_skeleton_udf
+
+        extra = []
+        if cfg.metaphone_keys:
+            extra.append(F.concat(F.lit("dm1:"), dm_primary_udf(first_w)))
+            extra.append(F.concat(F.lit("dm2:"), dm_secondary_udf(first_w)))
+        if cfg.translit_keys:
+            extra.append(F.concat(F.lit("tr:"), latin_skeleton_udf(norm)))
+        keys = F.array_union(keys, F.array(*extra))
     return mentions.select(
         "mention_id", "norm", F.explode(keys).alias("block_key")
     ).filter(F.col("mention_id").isNotNull())

@@ -272,3 +272,38 @@ class TestExactLevelCacheInvalidation:
         for word, label, *_ in w2n:
             got = m.in_lexicon(word, check_person_org_gpe_caps=False)[1]
             assert got == label, (word, got, label)
+
+
+class TestCollapseConsecutiveNer:
+    """W3: adjacent same-label mentions merge into one span
+    (reference tokenize collapse, ontology_manager.py:759-777)."""
+
+    def test_adjacent_same_label_merge(self):
+        m = mk([["alpha", "PRODUCT"], ["beta", "PRODUCT"], ["gamma", "EVENT"]])
+        out = m.tokenize(
+            "alpha beta gamma tail", collapse_consecutive_ner={"PRODUCT"}
+        )
+        assert out["chunk2ner"] == {
+            ("alpha_beta", 0, 10): "PRODUCT",  # space joined by connector
+            ("gamma", 11, 16): "EVENT",
+        }
+
+    def test_no_collapse_without_flag(self):
+        m = mk([["alpha", "PRODUCT"], ["beta", "PRODUCT"]])
+        out = m.tokenize("alpha beta tail")
+        assert ("alpha", 0, 5) in out["chunk2ner"]
+        assert ("beta", 6, 10) in out["chunk2ner"]
+
+    def test_different_labels_not_merged(self):
+        m = mk([["alpha", "PRODUCT"], ["gamma", "EVENT"]])
+        out = m.tokenize(
+            "alpha gamma tail", collapse_consecutive_ner={"PRODUCT", "EVENT"}
+        )
+        assert len(out["chunk2ner"]) == 2
+
+    def test_label_not_in_collapse_set_kept_separate(self):
+        m = mk([["alpha", "PRODUCT"], ["beta", "PRODUCT"]])
+        out = m.tokenize(
+            "alpha beta tail", collapse_consecutive_ner={"EVENT"}
+        )
+        assert len(out["chunk2ner"]) == 2
