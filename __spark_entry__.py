@@ -837,6 +837,83 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup: LSH buckets bound the candidate set
+    # (same planes as ann_lsh), cosine >= threshold pairs become edges,
+    # large-star/small-star CC resolves dup CLUSTERS (not just pairs).
+    # At 10^9 vectors the bucket equi-join + CC replaces the cross join.
+    from kawa_spark.operators.cc import connected_components
+
+    _views(spark, sf_dir)
+    planes = _lsh_planes()
+    arr = lambda p: "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in p) + ")"  # noqa: E731
+    bucket = " + ".join(
+        f"CAST(CASE WHEN aggregate(zip_with(embedding, {arr(p)},"
+        f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+        f" (acc, v) -> acc + v) > 0 THEN {1 << i} ELSE 0 END AS BIGINT)"
+        for i, p in enumerate(planes)
+    )
+    edges = spark.sql(f"""
+        WITH b AS (
+            SELECT concat('v:', lpad(CAST(vec_id AS STRING), 6, '0')) AS vid,
+                   embedding, ({bucket}) AS bucket,
+                   sqrt(aggregate(zip_with(embedding, embedding,
+                        (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vid AS id_a, c.vid AS id_b
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vid < c.vid
+        WHERE aggregate(zip_with(a.embedding, c.embedding,
+                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+              / (a.nrm * c.nrm) >= 0.3
+    """)
+    return connected_components(edges).select("node", "component")
+
+
+_EMBED_NEAR_DUP_ORACLE_TMPL = """
+    WITH RECURSIVE b AS (
+        SELECT concat('v:', lpad(CAST(vec_id AS VARCHAR), 6, '0')) AS vid,
+               embedding, ({bucket}) AS bucket,
+               sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    edges AS (
+        SELECT a.vid AS u, c.vid AS v
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vid < c.vid
+        WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(c.embedding[i] AS DOUBLE)))
+              / (a.nrm * c.nrm) >= 0.3
+    ),
+    nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT s.u AS node, reach.r
+        FROM sym s JOIN reach ON s.v = reach.node
+    )
+    SELECT node, MIN(r) AS component
+    FROM reach GROUP BY node
+"""
+
+
+def _embed_near_dup_oracle() -> str:
+    planes = _lsh_planes()
+    arr = lambda p: "[" + ",".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"  # noqa: E731
+    bucket = " + ".join(
+        f"CAST(CASE WHEN list_sum(list_transform(generate_series(1, 64),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ({arr(p)})[i])) > 0"
+        f" THEN {1 << i} ELSE 0 END AS BIGINT)"
+        for i, p in enumerate(planes)
+    )
+    return _EMBED_NEAR_DUP_ORACLE_TMPL.format(bucket=bucket)
+
+
 def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal metadata path: treat the text payload as an opaque
     # binary column; typed metadata (size, digest, format sniff) stays
@@ -1022,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embed_weighted_merge": _q_embed_weighted_merge,
             "wikiann_merge": _q_wikiann_merge,
             "cluster_hygiene": _q_cluster_hygiene,
+            "embedding_near_dup": _q_embedding_near_dup,
             "er_mentions": _q_er_mentions,
             "er_clusters": _q_er_clusters,
         }
@@ -1096,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
             "embed_weighted_merge": _EMBED_MERGE_ORACLE,
             "wikiann_merge": _WIKIANN_MERGE_ORACLE,
             "cluster_hygiene": _CLUSTER_HYGIENE_ORACLE,
+            "embedding_near_dup": _embed_near_dup_oracle(),
             "window_lag_gaps": """
                 SELECT event_type,
                        COUNT(*) AS n_gaps,

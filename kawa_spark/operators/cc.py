@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
+    """Lineage-truncating materialization for the iterative loop.
+
+    localCheckpoint blocks die with their executor — at cluster scale
+    that turns one node loss into a job failure (round-1 review) — so
+    callers with durable state (ERPipeline with an out_dir, which also
+    sets the session checkpoint dir) pass ``reliable=True`` for a real
+    checkpoint; local benches keep the cheaper localCheckpoint."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -55,6 +68,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """edge list -> (node, component). Non-singleton nodes only; callers
     coalesce(component, node) for singletons."""
@@ -63,7 +77,7 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = e.localCheckpoint(eager=True)
+    e = _ckpt(e, reliable_checkpoints)
     # Convergence probe (count + order-free xxhash fold) only every OTHER
     # iteration: each probe is a blocking driver round-trip, and with
     # typical convergence in <=10 star rounds the serial-sync count is
@@ -73,7 +87,7 @@ def connected_components(
     prev_sig = None
     for it in range(max_iter):
         e = _small_star(_large_star(e))
-        e = e.localCheckpoint(eager=True)  # truncate the iterative lineage
+        e = _ckpt(e, reliable_checkpoints)  # truncate the iterative lineage
         if it % 2 == 0 and it + 1 < max_iter:
             continue
         sig = e.agg(

@@ -62,6 +62,11 @@ class ERPipeline:
         self.spark = spark
         self.word2ner = word2ner
         self.lexicon_path = lexicon_path
+        if out_dir:
+            # reliable checkpoints for the CC loop (see operators/cc._ckpt):
+            # localCheckpoint blocks die with an executor; with a durable
+            # out_dir the iteration state must survive node loss too
+            spark.sparkContext.setCheckpointDir(os.path.join(out_dir, "_cc_ckpt"))
         self.embeddings = embeddings or {}
         self.cfg = cfg or DEFAULT_CONFIG
         self.out_dir = out_dir
@@ -208,7 +213,12 @@ class ERPipeline:
             lambda: assign_surface_clusters(
                 mentions,
                 surfaces,
-                connected_components(edges, max_iter=cfg.cc_max_iter),
+                connected_components(
+                    edges,
+                    max_iter=cfg.cc_max_iter,
+                    # durable runs must survive executor loss mid-loop
+                    reliable_checkpoints=bool(self.out_dir),
+                ),
             ),
         )
         return clusters
