@@ -837,6 +837,91 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # similarity search, IVF scale path (G4 analog, ref create_indexer):
+    # deterministic md5-sampled heads, broadcast argmax-cosine assign,
+    # cap-bounded sub-lists, nprobe search. Complements ann_lsh with
+    # data-adaptive cells.
+    from kawa_spark.operators.ann import ivf_assign, ivf_heads, ivf_search
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    heads = ivf_heads(corpus, k=16)
+    assigned = ivf_assign(corpus, heads, cap=40)
+    return ivf_search(assigned, heads, queries_df, nprobe=4, topk=5)
+
+
+_ANN_IVF_ORACLE = """
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 8),
+    heads AS (
+        SELECT vec_id AS head_id, embedding AS head_vec
+        FROM corpus
+        ORDER BY md5(concat('ivf', CAST(vec_id AS VARCHAR))) LIMIT 16
+    ),
+    ascore AS (
+        SELECT c.vec_id, c.embedding, h.head_id,
+               list_sum(list_transform(generate_series(1, len(c.embedding)),
+                   i -> CAST(c.embedding[i] AS DOUBLE)
+                        * CAST(h.head_vec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+                      i -> CAST(c.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(h.head_vec)),
+                      i -> CAST(h.head_vec[i] AS DOUBLE)
+                           * CAST(h.head_vec[i] AS DOUBLE))))) AS cos
+        FROM corpus c CROSS JOIN heads h
+    ),
+    assign AS (
+        SELECT vec_id, embedding, head_id FROM (
+            SELECT vec_id, embedding, head_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, head_id) AS rn
+            FROM ascore
+        ) t WHERE rn = 1
+    ),
+    pscore AS (
+        SELECT q.query_id, q.qv, h.head_id,
+               list_sum(list_transform(generate_series(1, len(q.qv)),
+                   i -> CAST(q.qv[i] AS DOUBLE)
+                        * CAST(h.head_vec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(h.head_vec)),
+                      i -> CAST(h.head_vec[i] AS DOUBLE)
+                           * CAST(h.head_vec[i] AS DOUBLE))))) AS cos
+        FROM q CROSS JOIN heads h
+    ),
+    probes AS (
+        SELECT query_id, qv, head_id FROM (
+            SELECT query_id, qv, head_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, head_id) AS rn
+            FROM pscore
+        ) t WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, len(p.qv)),
+                   i -> CAST(p.qv[i] AS DOUBLE)
+                        * CAST(a.embedding[i] AS DOUBLE))) AS dot
+        FROM probes p JOIN assign a ON p.head_id = a.head_id
+        WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(dot, 4) AS sim FROM (
+        SELECT query_id, neighbor_id, dot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id) AS rank
+        FROM cand
+    ) r WHERE rank <= 5
+"""
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: LSH buckets bound the candidate set
     # (same planes as ann_lsh), cosine >= threshold pairs become edges,
@@ -1100,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "wikiann_merge": _q_wikiann_merge,
             "cluster_hygiene": _q_cluster_hygiene,
             "embedding_near_dup": _q_embedding_near_dup,
+            "ann_ivf": _q_ann_ivf,
             "er_mentions": _q_er_mentions,
             "er_clusters": _q_er_clusters,
         }
@@ -1175,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
             "wikiann_merge": _WIKIANN_MERGE_ORACLE,
             "cluster_hygiene": _CLUSTER_HYGIENE_ORACLE,
             "embedding_near_dup": _embed_near_dup_oracle(),
+            "ann_ivf": _ANN_IVF_ORACLE,
             "window_lag_gaps": """
                 SELECT event_type,
                        COUNT(*) AS n_gaps,

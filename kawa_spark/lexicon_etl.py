@@ -298,6 +298,20 @@ def bfs_expand(
     return known
 
 
+def write_tsv(df: DataFrame, path: str, sort_cols: list[str] | None = None) -> None:
+    """S4 — the reference's sorted-TSV artifact sink
+    (``entity\\tcat`` + ``sort --parallel=32``,
+    ontology_builder.py:367,387,451): the external sort becomes the
+    exchange's range-partitioned sort; files land sorted within and
+    across partitions."""
+    out = df.sort(*sort_cols) if sort_cols else df
+    out.write.mode("overwrite").option("sep", "\t").option("header", False).csv(path)
+
+
+def read_tsv(spark, path: str, schema: str) -> DataFrame:
+    return spark.read.option("sep", "\t").schema(schema).csv(path)
+
+
 def normalize_word(col):
     """The reference's word normalizer applied before every dict insert
     (ontology_builder.py:313-314): space/hyphen -> connector, lowercase,
