@@ -638,6 +638,52 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_ngram_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # General near-dup pipeline: char-shingle MinHash -> LSH band buckets
+    # -> candidate pairs -> exact token-Jaccard verify >= 0.95. This is
+    # the scale shape (candidates ~9% of all pairs even on the
+    # pathologically-self-similar synthetic corpus; on real web text the
+    # pruning is far stronger). The pair stream stays narrow — token
+    # arrays are re-joined onto the deduped (doc_a, doc_b) pairs rather
+    # than carried through the bucket self-join shuffle.
+    from kawa_spark.operators.blocking import band_keys, minhash_signature
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sig = minhash_signature(F.lower(F.col("text")), perms=8, n=3, native_hash="md5")
+    keyed = docs.select(
+        "doc_id", band_keys(sig, bands=2, perms=8).alias("keys")
+    ).select("doc_id", F.explode("keys").alias("bk"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "bk")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    toks = spark.table("documents").select(
+        "doc_id", F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks")
+    )
+    return (
+        cand.join(toks.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
+        .join(toks.alias("tb"), cand.doc_b == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("ta.toks", "tb.toks")).cast("double")
+                / F.size(F.array_union("ta.toks", "tb.toks")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.95)
+    )
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text-quality heuristics: token count, stopword ratio, mean token len
     _views(spark, sf_dir)
@@ -1170,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "regex_ner_counts": _q_regex_ner,
             "minhash_signature": _q_minhash_signature,
             "ngram_jaccard": _q_ngram_jaccard,
+            "ngram_lsh_dedup": _q_ngram_lsh_dedup,
             "quality_score": _q_quality_score,
             "lang_id_heuristic": _q_lang_id,
             "doc_fingerprint": _q_doc_fingerprint,
@@ -1291,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
                              4) AS jaccard
                 FROM toksets a JOIN toksets b ON b.doc_id = a.doc_id + 1
             """,
+            "ngram_lsh_dedup": _duckdb_ngram_lsh_sql(perms=8, n=3, bands=2),
             "quality_score": f"""
                 SELECT doc_id,
                        COUNT(*) AS n_toks,
@@ -1442,6 +1490,63 @@ def _duckdb_ann_lsh_sql() -> str:
             FROM scored
         ) r
         WHERE rank <= 5
+    """
+
+
+def _duckdb_ngram_lsh_sql(perms: int = 8, n: int = 3, bands: int = 2) -> str:
+    """DuckDB mirror of the ngram_lsh_dedup pipeline: identical md5
+    MinHash mins (see _duckdb_minhash_sql), identical band keys
+    ('mh{b}:' || md5 of the band's '|'-joined mins), bucket self-join,
+    distinct pairs, exact token-Jaccard verify at the same threshold."""
+    rows = perms // bands
+    mins = ",\n".join(
+        f"list_aggregate(list_transform(grams, g -> md5('p{p}:' || g)), 'min')"
+        f" AS m{p}"
+        for p in range(perms)
+    )
+    bandkeys = ", ".join(
+        f"'mh{b}:' || md5("
+        + " || '|' || ".join(f"m{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sig AS (
+            SELECT doc_id, {mins}
+            FROM (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(length(padded) - {n - 1}, 1)),
+                           i -> substr(padded, CAST(i AS INT), {n}))) AS grams
+                FROM (SELECT doc_id,
+                             CASE WHEN length(lower(text)) < {n}
+                                  THEN rpad(lower(text), {n}, '#')
+                                  ELSE lower(text) END AS padded
+                      FROM documents) p
+            ) s
+        ),
+        keyed AS (SELECT doc_id, unnest([{bandkeys}]) AS bk FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        toksets AS (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents
+        )
+        SELECT doc_a, doc_b, jaccard
+        FROM (
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(len(list_filter(ta.toks,
+                                   x -> list_contains(tb.toks, x))) AS DOUBLE)
+                         / len(list_distinct(list_concat(ta.toks, tb.toks))),
+                         4) AS jaccard
+            FROM cand
+            JOIN toksets ta ON ta.doc_id = doc_a
+            JOIN toksets tb ON tb.doc_id = doc_b
+        ) v
+        WHERE jaccard >= 0.95
     """
 
 

@@ -58,6 +58,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spark.range(0, 10_000, 1, cpus * 2).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # Register the table views once outside the timings: parquet file
+    # listing + footer schema reads for all ten tables are a per-session
+    # fixed cost (a warehouse would hold them in the catalog), and
+    # without this the first timed query absorbs it.
+    entry._views(spark, sf_dir)
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
