@@ -684,6 +684,25 @@ def _q_ngram_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish sub-word token counting: a GPT-2-style pre-tokenizer regex
+    # (letter runs | digit runs | single punctuation) rather than plain
+    # whitespace split — the shape a training-data token-budget pass
+    # uses. Fully native (regexp_extract_all in codegen), one scan.
+    _views(spark, sf_dir)
+    return spark.sql(r"""
+        SELECT doc_id,
+               size(toks) AS n_bpe,
+               size(array_distinct(toks)) AS n_bpe_distinct
+        FROM (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0) AS toks
+            FROM documents
+        ) t
+    """)
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text-quality heuristics: token count, stopword ratio, mean token len
     _views(spark, sf_dir)
@@ -1217,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "minhash_signature": _q_minhash_signature,
             "ngram_jaccard": _q_ngram_jaccard,
             "ngram_lsh_dedup": _q_ngram_lsh_dedup,
+            "bpe_token_counts": _q_bpe_token_counts,
             "quality_score": _q_quality_score,
             "lang_id_heuristic": _q_lang_id,
             "doc_fingerprint": _q_doc_fingerprint,
@@ -1339,6 +1359,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM toksets a JOIN toksets b ON b.doc_id = a.doc_id + 1
             """,
             "ngram_lsh_dedup": _duckdb_ngram_lsh_sql(perms=8, n=3, bands=2),
+            "bpe_token_counts": r"""
+                SELECT doc_id,
+                       CAST(len(toks) AS INT) AS n_bpe,
+                       CAST(len(list_distinct(toks)) AS INT) AS n_bpe_distinct
+                FROM (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text),
+                               '[a-z]+|[0-9]+|[^a-z0-9\s]') AS toks
+                    FROM documents
+                ) t
+            """,
             "quality_score": f"""
                 SELECT doc_id,
                        COUNT(*) AS n_toks,
