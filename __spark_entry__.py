@@ -653,13 +653,33 @@ def _q_ngram_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     sig = minhash_signature(F.lower(F.col("text")), perms=8, n=3, native_hash="md5")
+    # n_tok rides with each bucket row so the PPJoin-style length filter
+    # prunes BEFORE the distinct shuffle and the verify joins: token
+    # Jaccard >= 0.95 forces |A| and |B| within 5%, so pairs outside
+    # that band can be dropped for free (provably no effect on output —
+    # the oracle runs without the filter and matches).
     keyed = docs.select(
-        "doc_id", band_keys(sig, bands=2, perms=8).alias("keys")
-    ).select("doc_id", F.explode("keys").alias("bk"))
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
+            "n_tok"
+        ),
+        band_keys(sig, bands=2, perms=8).alias("keys"),
+    ).select("doc_id", "n_tok", F.explode("keys").alias("bk"))
+    # materialize before the self-join: (doc_id, n_tok, bk) is tiny
+    # (bands x n_docs rows) while its subtree — scan + shingle + md5 —
+    # is the expensive part; without this both join sides recompute it
+    keyed = keyed.persist()
+    keyed.count()
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), "bk")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.n_tok", "b.n_tok")
+                >= 0.95 * F.greatest("a.n_tok", "b.n_tok")
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -1201,6 +1221,136 @@ _CLUSTER_HYGIENE_ORACLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# temporal / JSON / quantile / redaction analytics
+# --------------------------------------------------------------------------
+
+# 4h in microseconds: the events table's per-user median inter-event gap
+# is ~7h, so this yields real multi-event sessions and window pairs
+_SESSION_GAP_US = 14_400_000_000
+_RANGE_WINDOW_US = 14_400_000_000
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W-class depth: gap-based sessionization (lag + running sum share
+    # one (user, t) sort -> a single Sort+Window stage, then groupBy)
+    from kawa_spark.operators.temporal import sessionize
+
+    _views(spark, sf_dir)
+    s = sessionize(spark.table("events"), _SESSION_GAP_US)
+    return s.select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        "session_start_us",
+        "session_span_us",
+    )
+
+
+def _q_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # point-in-time join: each click picks up the most recent error of
+    # the same user at-or-before it — union + last_value window (one
+    # shuffle, no range explosion); oracle is DuckDB's native ASOF JOIN
+    from kawa_spark.operators.temporal import asof_join
+
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", t.alias("t")
+    )
+    errs = ev.filter("event_type = 'error'").select(
+        "user_id",
+        t.alias("t"),
+        F.col("event_id").alias("err_event_id"),
+        t.alias("err_us"),
+    )
+    joined = asof_join(clicks, errs, "user_id", "t", ["err_event_id", "err_us"])
+    return joined.select(
+        "event_id", "user_id", F.col("t").alias("click_us"),
+        "err_event_id", "err_us",
+    )
+
+
+def _q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval self-join via time buckets (equi-join on (user, bucket),
+    # each left row probes {b, b+1}) — the scalable range-join plan
+    from kawa_spark.operators.temporal import bucketed_range_join
+
+    _views(spark, sf_dir)
+    pairs = bucketed_range_join(spark.table("events"), _RANGE_WINDOW_US)
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("dt_us").alias("min_dt_us"),
+    )
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII redaction over the regex corpus: every NER_REGEXES pattern's
+    # matches replaced with a <LABEL> token in priority order — the
+    # training-data-release counterpart of the P10 tagging pass; fully
+    # native nested regexp_replace (one narrow projection at 10^12 docs)
+    from kawa_spark.lexicon.regexes import redact_sql
+
+    _views(spark, sf_dir)
+    return spark.sql(
+        f"WITH corpus AS ({_REGEX_CORPUS_SQL})\n"
+        f"SELECT md5(text) AS src_md5, {redact_sql('spark')} AS redacted\n"
+        f"FROM corpus"
+    )
+
+
+def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-structured extraction: JSON property -> typed column -> agg
+    # (get_json_object is codegen'd JVM-side; no UDF)
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT event_type,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 4) AS avg_k,
+               CAST(MAX(k) AS BIGINT) AS max_k
+        FROM (SELECT event_type,
+                     CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+              FROM events) t
+        GROUP BY event_type
+    """)
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles per group (both engines use the
+    # standard p*(n-1) linear interpolation, so values match bitwise
+    # after ROUND)
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT lang,
+               ROUND(percentile(n_chars, 0.5), 4) AS p50_chars,
+               ROUND(percentile(n_chars, 0.9), 4) AS p90_chars
+        FROM documents
+        GROUP BY lang
+    """)
+
+
+def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-level top-k n-gram counts (training-data vocabulary pass):
+    # explode positional bigrams, count, TakeOrdered top-20 with a
+    # deterministic tiebreak
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT bigram, COUNT(*) AS n
+        FROM (
+            SELECT concat_ws(' ', slice(toks, i, 2)) AS bigram
+            FROM (SELECT toks
+                  FROM (SELECT split(lower(text), ' ') AS toks
+                        FROM documents) x
+                  WHERE size(toks) >= 2) d
+            LATERAL VIEW explode(sequence(1, size(toks) - 1)) s AS i
+        ) g
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """)
+
+
 def _q_er_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extraction stage (mapInPandas greedy matcher) — rows-only; parity
     # vs the pure-Python oracle is pinned byte-identically in pytest.
@@ -1253,6 +1403,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cluster_hygiene": _q_cluster_hygiene,
             "embedding_near_dup": _q_embedding_near_dup,
             "ann_ivf": _q_ann_ivf,
+            "sessionize": _q_sessionize,
+            "asof_error": _q_asof_error,
+            "range_join_counts": _q_range_join_counts,
+            "pii_redact": _q_pii_redact,
+            "json_props_stats": _q_json_props_stats,
+            "length_quantiles": _q_length_quantiles,
+            "top_bigrams": _q_top_bigrams,
             "er_mentions": _q_er_mentions,
             "er_clusters": _q_er_clusters,
         }
@@ -1487,7 +1644,100 @@ def oracle_sql() -> dict[str, str]:
     # exists in both — block_pairs_lev stays common. The ER pipeline
     # queries are rows-only (clustering is pytest-gated at F1>=0.99).
     oracles["soundex_blocks"] = _soundex_blocks_sql()
+    oracles.update(
+        {
+            "sessionize": f"""
+                WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+                g AS (
+                    SELECT user_id, t,
+                           CASE WHEN lag(t) OVER w IS NULL
+                                     OR t - lag(t) OVER w > {_SESSION_GAP_US}
+                                THEN 1 ELSE 0 END AS is_new
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id ORDER BY t)
+                ),
+                s AS (
+                    SELECT user_id, t,
+                           CAST(SUM(is_new) OVER (
+                               PARTITION BY user_id ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+                               AS session_seq
+                    FROM g
+                )
+                SELECT user_id, session_seq, COUNT(*) AS n_events,
+                       MIN(t) AS session_start_us,
+                       MAX(t) - MIN(t) AS session_span_us
+                FROM s GROUP BY user_id, session_seq
+            """,
+            "asof_error": """
+                WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                           FROM events WHERE event_type = 'click'),
+                     e AS (SELECT user_id, epoch_us(ts) AS t2,
+                                  event_id AS err_event_id,
+                                  epoch_us(ts) AS err_us
+                           FROM events WHERE event_type = 'error')
+                SELECT c.event_id, c.user_id, c.t AS click_us,
+                       e.err_event_id, e.err_us
+                FROM c ASOF LEFT JOIN e
+                  ON c.user_id = e.user_id AND c.t >= e.t2
+            """,
+            "range_join_counts": f"""
+                WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                           FROM events)
+                SELECT a.user_id, COUNT(*) AS n_pairs,
+                       MIN(b.t - a.t) AS min_dt_us
+                FROM e a JOIN e b
+                  ON a.user_id = b.user_id AND b.t > a.t
+                 AND b.t - a.t <= {_RANGE_WINDOW_US}
+                GROUP BY a.user_id
+            """,
+            "pii_redact": (
+                f"WITH corpus AS ({_REGEX_CORPUS_SQL})\n"
+                f"SELECT md5(text) AS src_md5, {_redact_duck()} AS redacted\n"
+                f"FROM corpus"
+            ),
+            "json_props_stats": """
+                SELECT event_type,
+                       CAST(SUM(k) AS BIGINT) AS sum_k,
+                       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 4) AS avg_k,
+                       CAST(MAX(k) AS BIGINT) AS max_k
+                FROM (SELECT event_type,
+                             CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                 AS k
+                      FROM events) t
+                GROUP BY event_type
+            """,
+            "length_quantiles": """
+                SELECT lang,
+                       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+                FROM documents
+                GROUP BY lang
+            """,
+            "top_bigrams": """
+                SELECT bigram, COUNT(*) AS n
+                FROM (
+                    SELECT array_to_string(toks[i:i+1], ' ') AS bigram
+                    FROM (SELECT toks
+                          FROM (SELECT string_split(lower(text), ' ') AS toks
+                                FROM documents) x
+                          WHERE len(toks) >= 2) d,
+                    UNNEST(generate_series(1, len(toks) - 1)) AS s(i)
+                ) g
+                GROUP BY bigram
+                ORDER BY n DESC, bigram
+                LIMIT 20
+            """,
+        }
+    )
     return oracles
+
+
+def _redact_duck() -> str:
+    from kawa_spark.lexicon.regexes import redact_sql
+
+    return redact_sql("duckdb")
 
 
 def _duckdb_ann_lsh_sql() -> str:
@@ -1531,7 +1781,8 @@ def _duckdb_ngram_lsh_sql(perms: int = 8, n: int = 3, bands: int = 2) -> str:
     distinct pairs, exact token-Jaccard verify at the same threshold."""
     rows = perms // bands
     mins = ",\n".join(
-        f"list_aggregate(list_transform(grams, g -> md5('p{p}:' || g)), 'min')"
+        f"list_aggregate(list_transform(grams,"
+        f" g -> substr(md5(g), {p * 3 + 1}, 8)), 'min')"
         f" AS m{p}"
         for p in range(perms)
     )
@@ -1584,9 +1835,11 @@ def _duckdb_ngram_lsh_sql(perms: int = 8, n: int = 3, bands: int = 2) -> str:
 def _duckdb_minhash_sql(perms: int, n: int) -> str:
     """DuckDB mirror of kawa_spark.operators.blocking.minhash_signature
     (md5 path): identical shingling (rpad to n, positional n-grams,
-    distinct) and identical per-permutation min of md5('p{i}:' || gram)."""
+    distinct) and identical per-permutation min of the 8-hex-char digest
+    slice substr(md5(gram), 3p+1, 8) — one md5 per gram on both engines."""
     mins = ",\n                       ".join(
-        f"list_aggregate(list_transform(grams, g -> md5('p{p}:' || g)), 'min')"
+        f"list_aggregate(list_transform(grams,"
+        f" g -> substr(md5(g), {p * 3 + 1}, 8)), 'min')"
         for p in range(perms)
     )
     return f"""

@@ -91,6 +91,23 @@ def _masked_sql(text_expr: str, upto: int, dialect: str) -> str:
     return cur
 
 
+def redact_sql(dialect: str, text_expr: str = "text") -> str:
+    """SQL expression replacing every pattern's matches with a
+    ``<LABEL>`` token, applied in priority order (earlier patterns
+    claim their spans first — same sequential rule as the NER pass).
+    Replacement tokens contain no digits or regex-active chars, so no
+    later pattern can fire inside one. Same constants render both
+    dialects, so the redaction operator and its oracle cannot drift."""
+    cur = text_expr
+    for label, pat in NER_REGEXES:
+        p = _sql_pattern(pat, dialect)
+        if dialect == "duckdb":
+            cur = f"regexp_replace({cur}, '{p}', '<{label}>', 'g')"
+        else:
+            cur = f"regexp_replace({cur}, '{p}', '<{label}>')"
+    return cur
+
+
 def regex_ner_counts_sql(dialect: str, table: str = "documents") -> str:
     """Counts per label over ``table`` — the SAME pattern constants
     rendered for Spark SQL or DuckDB (string-literal escaping, the

@@ -56,20 +56,27 @@ def minhash_signature(col: Column, perms: int, n: int, native_hash: str = "xxhas
     grams = _char_shingles(col, n)
 
     if native_hash == "md5":
-        # oracle-parity path: min of md5 hex strings per permutation,
-        # mirrored by the DuckDB SQL in __spark_entry__ (same min over
-        # the same md5 set — fold order does not change a min). Single
-        # pass over grams; "~" (0x7E) sorts above every lowercase-hex
-        # digest, so it is a safe string +infinity.
+        # oracle-parity path: ONE md5 per gram (computed in a transform
+        # so it cannot be re-evaluated per permutation), then each
+        # permutation takes a distinct 8-hex-char slice of the digest
+        # (stride 3: offsets 1,4,..,22 — 32 hex chars bound this to 8
+        # perms) and the signature is the per-slice min. Mirrored by the
+        # DuckDB SQL in __spark_entry__ (same min over the same slice
+        # set — fold order does not change a min). "~" (0x7E) sorts
+        # above every lowercase-hex digest, so it is a safe string
+        # +infinity.
+        if perms > 8:
+            raise ValueError("md5 minhash path supports at most 8 perms")
+        digests = F.transform(grams, lambda g: F.md5(g))
         s_init = F.array_repeat(F.lit("~"), perms)
 
-        def s_step(acc: Column, g: Column) -> Column:
+        def s_step(acc: Column, h: Column) -> Column:
             hashes = F.array(
-                *[F.md5(F.concat(F.lit(f"p{p}:"), g)) for p in range(perms)]
+                *[h.substr(F.lit(p * 3 + 1), F.lit(8)) for p in range(perms)]
             )
             return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
-        return F.aggregate(grams, s_init, s_step)
+        return F.aggregate(digests, s_init, s_step)
 
     init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), perms)
 

@@ -1,0 +1,157 @@
+"""Temporal operators: sessionize, as-of join, bucketed range join.
+
+The range-join test pins the bucketed equi-join plan against the naive
+theta-join on the same input (exactness), mirroring how
+test_skew.py pins triangle partitioning.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kawa_spark.operators.temporal import (
+    asof_join,
+    bucketed_range_join,
+    sessionize,
+)
+
+
+def _ts(minute: int, sec: int = 0, us: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(
+        minutes=minute, seconds=sec, microseconds=us
+    )
+
+
+MIN_US = 60_000_000
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions split by a 10-minute gap (threshold 5 min)
+        (0, _ts(0), 1, "click"),
+        (1, _ts(2), 1, "error"),
+        (2, _ts(4), 1, "click"),
+        (3, _ts(14), 1, "click"),
+        # user 2: one session; error exactly at a click's timestamp
+        (4, _ts(1), 2, "error"),
+        (5, _ts(1), 2, "click"),
+        (6, _ts(3), 2, "click"),
+        # user 3: clicks with no prior error
+        (7, _ts(0), 3, "click"),
+        (8, _ts(20), 3, "error"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+class TestSessionize:
+    def test_sessions_split_at_gap(self, events):
+        out = sessionize(events, gap_us=5 * MIN_US).collect()
+        by_key = {(r["user_id"], r["session_seq"]): r for r in out}
+        assert set(by_key) == {(1, 1), (1, 2), (2, 1), (3, 1), (3, 2)}
+        s11 = by_key[(1, 1)]
+        assert s11["n_events"] == 3
+        assert s11["session_span_us"] == 4 * MIN_US
+        assert by_key[(1, 2)]["n_events"] == 1
+        assert by_key[(1, 2)]["session_span_us"] == 0
+        assert by_key[(2, 1)]["n_events"] == 3
+
+    def test_session_start_is_min_ts(self, events):
+        out = {
+            (r["user_id"], r["session_seq"]): r["session_start_us"]
+            for r in sessionize(events, gap_us=5 * MIN_US).collect()
+        }
+        base = int(dt.datetime(2024, 1, 1).timestamp()) * 1_000_000
+        assert out[(1, 2)] == base + 14 * MIN_US
+
+
+class TestAsofJoin:
+    def test_most_recent_build_row(self, events):
+        t = F.unix_micros(F.col("ts").cast("timestamp"))
+        clicks = events.filter("event_type = 'click'").select(
+            "event_id", "user_id", t.alias("t")
+        )
+        errs = events.filter("event_type = 'error'").select(
+            "user_id", t.alias("t"), F.col("event_id").alias("err_id")
+        )
+        out = {
+            r["event_id"]: r["err_id"]
+            for r in asof_join(clicks, errs, "user_id", "t", ["err_id"]).collect()
+        }
+        # user 1: click@0 has no prior error; clicks @4 and @14 see err 1
+        assert out[0] is None
+        assert out[2] == 1 and out[3] == 1
+        # user 2: click at EXACTLY the error's timestamp matches it (>=)
+        assert out[5] == 4
+        assert out[6] == 4
+        # user 3: error comes after every click
+        assert out[7] is None
+        # row count preserved (left join)
+        assert len(out) == 6
+
+    def test_probe_rows_never_dropped_or_duplicated(self, events):
+        t = F.unix_micros(F.col("ts").cast("timestamp"))
+        clicks = events.filter("event_type = 'click'").select(
+            "event_id", "user_id", t.alias("t")
+        )
+        errs = events.filter("event_type = 'error'").select(
+            "user_id", t.alias("t"), F.col("event_id").alias("err_id")
+        )
+        joined = asof_join(clicks, errs, "user_id", "t", ["err_id"])
+        assert joined.count() == clicks.count()
+
+
+class TestBucketedRangeJoin:
+    def test_matches_naive_theta_join(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (
+                i,
+                dt.datetime(2024, 1, 1)
+                + dt.timedelta(seconds=rng.randint(0, 50_000)),
+                rng.randint(1, 5),
+                "x",
+            )
+            for i in range(300)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        window_us = 3600 * 1_000_000
+        fast = {
+            (r["user_id"], r["id_a"], r["id_b"], r["dt_us"])
+            for r in bucketed_range_join(ev, window_us).collect()
+        }
+        e = ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        naive = {
+            (r["user_id"], r["id_a"], r["id_b"], r["dt_us"])
+            for r in e.alias("a")
+            .join(e.alias("b"), "user_id")
+            .where(
+                (F.col("b.t") > F.col("a.t"))
+                & (F.col("b.t") - F.col("a.t") <= window_us)
+            )
+            .select(
+                "user_id",
+                F.col("a.event_id").alias("id_a"),
+                F.col("b.event_id").alias("id_b"),
+                (F.col("b.t") - F.col("a.t")).alias("dt_us"),
+            )
+            .collect()
+        }
+        assert fast == naive and len(fast) > 50
+
+    def test_no_duplicate_pairs(self, events):
+        out = bucketed_range_join(events, 30 * MIN_US)
+        assert out.count() == out.distinct().count()
