@@ -688,6 +688,9 @@ def _q_ngram_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spark.table("documents").select(
         "doc_id", F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks")
     )
+    # same reuse argument as keyed: ta/tb join on different keys so the
+    # exchanges differ and Spark would re-scan + re-tokenize per side
+    toks = toks.persist()
     return (
         cand.join(toks.alias("ta"), cand.doc_a == F.col("ta.doc_id"))
         .join(toks.alias("tb"), cand.doc_b == F.col("tb.doc_id"))

@@ -124,13 +124,25 @@ def simhash(col: Column, bits: int = 64, split_pattern: str = " ") -> Column:
 
 
 def band_keys(sig: Column, bands: int, perms: int) -> Column:
-    """array<string> of LSH band keys (concat-hash of each band's rows)."""
+    """array<string> of LSH band keys (concat-hash of each band's rows).
+
+    ``sig`` is bound ONCE via a one-element transform lambda before the
+    per-band element_at references: Catalyst does not common-subexpress
+    identical higher-order-function subtrees, so referencing the
+    signature expression directly from each band would re-run the whole
+    MinHash fold per reference (measured ~4x on the md5 path)."""
     rows = perms // bands
-    keys = []
-    for b in range(bands):
-        band = F.concat_ws("|", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
-        keys.append(F.concat(F.lit(f"mh{b}:"), F.md5(band)))
-    return F.array(*keys)
+
+    def mk(s: Column) -> Column:
+        keys = []
+        for b in range(bands):
+            band = F.concat_ws(
+                "|", *[F.element_at(s, b * rows + r + 1) for r in range(rows)]
+            )
+            keys.append(F.concat(F.lit(f"mh{b}:"), F.md5(band)))
+        return F.array(*keys)
+
+    return F.element_at(F.transform(F.array(sig), mk), 1)
 
 
 def add_block_keys(

@@ -1,0 +1,123 @@
+"""Physical-plan audit: verify the plans are the ones a 100 TB run needs.
+
+For each audited query this prints a compact PASS/FAIL line per
+assertion plus the evidence, checking the properties the engine's scale
+story rests on:
+
+* filters reach the parquet scan (``PushedFilters``);
+* column pruning reaches the scan (``ReadSchema`` excludes unused
+  columns — in particular the pages reader never scans ``html`` for
+  text-only plans);
+* small dimension joins broadcast (``BroadcastHashJoin``), big
+  equi-joins shuffle (``SortMergeJoin``/``ShuffledHashJoin``) — no
+  accidental ``CartesianProduct``/``BroadcastNestedLoopJoin`` in the
+  hot path;
+* expressions stay inside WholeStageCodegen spans.
+
+Usage: python scripts/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+from kawa_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS = {
+    # query -> list of (description, predicate over formatted plan)
+    "scan_filter_project": [
+        ("filter pushed to scan", lambda p: "PushedFilters: [" in p
+         and "IsNotNull(event_type)" in p),
+        ("scan prunes to 4 cols", lambda p: re.search(
+            r"ReadSchema: struct<event_id:bigint,user_id:bigint,"
+            r"event_type:string,value:double>", p) is not None),
+        ("whole-stage codegen", lambda p: "[codegen id :" in p),
+    ],
+    "join_enrich_region": [
+        ("dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no cartesian/BNLJ", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+    ],
+    "topk_orders": [
+        ("TakeOrdered plan (no global sort)", lambda p:
+         "TakeOrderedAndProject" in p),
+    ],
+    "exact_dedup_fingerprint": [
+        ("partial agg before shuffle", lambda p:
+         "partial_" in p or "HashAggregate" in p),
+    ],
+    "ngram_lsh_dedup": [
+        ("bucket join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+    ],
+    "range_join_counts": [
+        ("interval join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+    ],
+    "asof_error": [
+        ("single window pass (one sort per partition key)", lambda p:
+         p.count("Window") <= 2),
+        ("no join at all (union + window)", lambda p:
+         "Join" not in p),
+    ],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(master="local[8]", app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    failures = 0
+    for name, checks in CHECKS.items():
+        df = qs[name](spark, sf_dir)
+        plan = plan_of(df)
+        for desc, pred in checks:
+            ok = pred(plan)
+            failures += 0 if ok else 1
+            print(f"{'PASS' if ok else 'FAIL'}  {name}: {desc}")
+            if not ok:
+                print("---- plan ----")
+                print(plan[:4000])
+                print("--------------")
+
+    # pages reader: text-only plan must not scan the html binary column
+    from kawa_spark.sources.pages import read_pages
+
+    import pandas as pd  # noqa: F401
+
+    pages = spark.createDataFrame(
+        [("u", None, b"<p>x</p>", "x", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    tmp = "/tmp/_audit_pages.parquet"
+    pages.write.mode("overwrite").parquet(tmp)
+    plan = plan_of(read_pages(spark, tmp, derive_text_from_html=False)
+                   .select("url", "text"))
+    ok = "html" not in re.search(r"ReadSchema: (\S+)", plan).group(1)
+    failures += 0 if ok else 1
+    print(f"{'PASS' if ok else 'FAIL'}  pages reader: html column pruned "
+          f"from text-only scan")
+
+    print(f"\n{failures} failures")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
