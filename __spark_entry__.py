@@ -1354,6 +1354,55 @@ def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OLAP rollup: subtotals + grand total in one shuffle (Expand node
+    # feeds one partial-aggregated exchange). DECIMAL partial sums keep
+    # the double aggregation order-independent (module determinism rule).
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """)
+
+
+def _q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-series gap fill: per-user date spine (sequence + explode)
+    # left-joined onto daily counts, missing days zero-filled — the
+    # dense-calendar shape reporting pipelines need
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        agg AS (SELECT user_id, day, COUNT(*) AS n
+                FROM d GROUP BY user_id, day),
+        span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                 FROM d GROUP BY user_id),
+        spine AS (SELECT user_id, explode(sequence(d0, d1)) AS day
+                  FROM span)
+        SELECT s.user_id, CAST(s.day AS STRING) AS day,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+        FROM spine s LEFT JOIN agg a
+          ON s.user_id = a.user_id AND s.day = a.day
+    """)
+
+
+def _q_histogram_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-width histogram binning per language (training-data length
+    # distribution pass) — one partial-aggregated shuffle
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT lang,
+               CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM documents
+        GROUP BY lang, CAST(FLOOR(n_chars / 100) AS BIGINT)
+    """)
+
+
 def _q_er_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extraction stage (mapInPandas greedy matcher) — rows-only; parity
     # vs the pure-Python oracle is pinned byte-identically in pytest.
@@ -1413,6 +1462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "json_props_stats": _q_json_props_stats,
             "length_quantiles": _q_length_quantiles,
             "top_bigrams": _q_top_bigrams,
+            "rollup_revenue": _q_rollup_revenue,
+            "calendar_fill": _q_calendar_fill,
+            "histogram_lengths": _q_histogram_lengths,
             "er_mentions": _q_er_mentions,
             "er_clusters": _q_er_clusters,
         }
@@ -1731,6 +1783,38 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY bigram
                 ORDER BY n DESC, bigram
                 LIMIT 20
+            """,
+            "rollup_revenue": """
+                SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                       COALESCE(l_linestatus, 'ALL') AS linestatus,
+                       COUNT(*) AS n,
+                       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                            AS DOUBLE) AS revenue
+                FROM lineitem
+                GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            """,
+            "calendar_fill": """
+                WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day
+                           FROM events),
+                agg AS (SELECT user_id, day, COUNT(*) AS n
+                        FROM d GROUP BY user_id, day),
+                span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                         FROM d GROUP BY user_id),
+                spine AS (SELECT user_id,
+                                 unnest(generate_series(d0, d1,
+                                        INTERVAL 1 DAY))::DATE AS day
+                          FROM span)
+                SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+                       CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+                FROM spine s LEFT JOIN agg a
+                  ON s.user_id = a.user_id AND s.day = a.day
+            """,
+            "histogram_lengths": """
+                SELECT lang,
+                       CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
+                       COUNT(*) AS n
+                FROM documents
+                GROUP BY lang, CAST(FLOOR(n_chars / 100) AS BIGINT)
             """,
         }
     )

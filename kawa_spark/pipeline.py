@@ -52,11 +52,20 @@ class ERPipeline:
         cfg: PipelineConfig | None = None,
         out_dir: str | None = None,
         lexicon_path: str | None = None,
+        partition_cols: list[str] | None = None,
     ):
         """Lexicon source: either ``word2ner`` seed records (broadcast,
         cascade built per executor) or ``lexicon_path`` — a saved
         ``KawaMatcher.save`` gzip-JSON artifact loaded without rebuild
-        (S5; reference ontology_manager.py:176-229)."""
+        (S5; reference ontology_manager.py:176-229).
+
+        ``partition_cols``: table partition columns (e.g. ``["lang"]``).
+        Stage outputs that carry them are written Hive/Iceberg-layout
+        partitioned (``lang=en/``), and each manifest's lineage block is
+        keyed by partition VALUE — the "per-Iceberg-partition lineage +
+        metrics" contract — instead of the physical spark partition id.
+        Stages without the columns fall back to physical-partition
+        lineage."""
         if word2ner is None and lexicon_path is None:
             raise ValueError("ERPipeline needs word2ner or lexicon_path")
         self.spark = spark
@@ -70,6 +79,7 @@ class ERPipeline:
         self.embeddings = embeddings or {}
         self.cfg = cfg or DEFAULT_CONFIG
         self.out_dir = out_dir
+        self.partition_cols = partition_cols or []
         self.metrics: list[StageResult] = []
         self._persisted: list[DataFrame] = []
 
@@ -99,17 +109,33 @@ class ERPipeline:
             self.metrics.append(StageResult(stage, -1, time.time() - t0, False))
             return df
         path = os.path.join(self.out_dir, stage)
-        df.write.mode("overwrite").parquet(path)
+        pcols = [c for c in self.partition_cols if c in df.columns]
+        writer = df.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(path)
         out = self.spark.read.parquet(path)
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-        )
+        if pcols:
+            # logical (Iceberg-style) partition lineage: key by value
+            per_part = out.groupBy(*pcols).count().collect()
+            partitions = {
+                "/".join(f"{c}={r[c]}" for c in pcols): r["count"]
+                for r in per_part
+            }
+        else:
+            per_part = (
+                out.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .collect()
+            )
+            partitions = {str(r["pid"]): r["count"] for r in per_part}
         rows = sum(r["count"] for r in per_part)
         manifest = {
             "stage": stage,
             "config": self.cfg.fingerprint(),
             "rows": rows,
-            "partitions": {str(r["pid"]): r["count"] for r in per_part},
+            "partition_cols": pcols,
+            "partitions": partitions,
             "completed": True,
         }
         with open(self._manifest_path(stage), "w") as f:

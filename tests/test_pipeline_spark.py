@@ -209,3 +209,48 @@ class TestLexiconPathPipeline:
         rows_a = {(r["mention_id"], r["cluster_id"]) for r in a.collect()}
         rows_b = {(r["mention_id"], r["cluster_id"]) for r in b.collect()}
         assert rows_a == rows_b
+
+
+class TestPartitionedLineage:
+    def test_value_keyed_lineage_and_hive_layout(
+        self, spark, corpus, docs_df, tmp_path
+    ):
+        """partition_cols=['lang']: stages carrying lang write
+        Hive/Iceberg layout (lang=en/...) and their manifests key the
+        lineage block by partition VALUE; stages without lang fall back
+        to physical-partition lineage. Resume still round-trips."""
+        import json
+        import os
+
+        out = str(tmp_path / "er_part")
+        pipe = ERPipeline(
+            spark, corpus.word2ner, corpus.embeddings,
+            out_dir=out, partition_cols=["lang"],
+        )
+        first = pipe.run(docs_df).select("mention_id", "cluster_id").collect()
+
+        with open(os.path.join(out, "mentions", "_MANIFEST.json")) as f:
+            m = json.load(f)
+        assert m["partition_cols"] == ["lang"]
+        assert all(k.startswith("lang=") for k in m["partitions"])
+        assert sum(m["partitions"].values()) == m["rows"]
+        langs_on_disk = {
+            d for d in os.listdir(os.path.join(out, "mentions"))
+            if d.startswith("lang=")
+        }
+        assert langs_on_disk == set(m["partitions"])
+
+        # surfaces has no lang column -> physical lineage fallback
+        with open(os.path.join(out, "surfaces", "_MANIFEST.json")) as f:
+            s = json.load(f)
+        assert s["partition_cols"] == []
+
+        pipe2 = ERPipeline(
+            spark, corpus.word2ner, corpus.embeddings,
+            out_dir=out, partition_cols=["lang"],
+        )
+        second = pipe2.run(docs_df, resume=True).select(
+            "mention_id", "cluster_id"
+        ).collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+        assert all(r.resumed for r in pipe2.metrics)
