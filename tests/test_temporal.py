@@ -155,3 +155,93 @@ class TestBucketedRangeJoin:
     def test_no_duplicate_pairs(self, events):
         out = bucketed_range_join(events, 30 * MIN_US)
         assert out.count() == out.distinct().count()
+
+
+class TestRandomizedReferenceModels:
+    """Seeded random inputs checked against pure-Python reference
+    models — the invariants hold for shapes the handcrafted fixtures
+    do not cover (bursts, ties-in-bucket, singleton users)."""
+
+    def _random_events(self, spark, seed, n=400, users=7, span_s=100_000):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (
+                i,
+                dt.datetime(2024, 1, 1)
+                + dt.timedelta(seconds=rng.randint(0, span_s)),
+                rng.randint(1, users),
+                rng.choice(["click", "error"]),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        return rows, df
+
+    def test_sessionize_matches_reference_model(self, spark):
+        gap_us = 3600 * 1_000_000
+        for seed in (1, 2):
+            rows, df = self._random_events(spark, seed)
+            got = {
+                (r["user_id"], r["session_seq"]): (
+                    r["n_events"],
+                    r["session_start_us"],
+                    r["session_span_us"],
+                )
+                for r in sessionize(df, gap_us).collect()
+            }
+            # reference: sort each user's micros, split at gaps > gap_us
+            base = dt.datetime(1970, 1, 1)
+            want = {}
+            byu: dict = {}
+            for _, ts, u, _t in rows:
+                byu.setdefault(u, []).append(
+                    int((ts - base).total_seconds() * 1_000_000)
+                )
+            for u, times in byu.items():
+                times.sort()
+                seq, cur = 1, [times[0]]
+                for prev, t in zip(times, times[1:]):
+                    if t - prev > gap_us:
+                        want[(u, seq)] = (len(cur), cur[0], cur[-1] - cur[0])
+                        seq, cur = seq + 1, [t]
+                    else:
+                        cur.append(t)
+                want[(u, seq)] = (len(cur), cur[0], cur[-1] - cur[0])
+            assert got == want
+            assert sum(v[0] for v in got.values()) == len(rows)
+
+    def test_asof_matches_reference_model(self, spark):
+        for seed in (3, 4):
+            rows, df = self._random_events(spark, seed)
+            t = F.unix_micros(F.col("ts").cast("timestamp"))
+            clicks = df.filter("event_type = 'click'").select(
+                "event_id", "user_id", t.alias("t")
+            )
+            errs = df.filter("event_type = 'error'").select(
+                "user_id", t.alias("t"), F.col("event_id").alias("err_id")
+            )
+            got = {
+                r["event_id"]: r["err_id"]
+                for r in asof_join(
+                    clicks, errs, "user_id", "t", ["err_id"]
+                ).collect()
+            }
+            base = dt.datetime(1970, 1, 1)
+            us = lambda ts: int((ts - base).total_seconds() * 1_000_000)  # noqa: E731
+            errs_by_user: dict = {}
+            for eid, ts, u, kind in rows:
+                if kind == "error":
+                    errs_by_user.setdefault(u, []).append((us(ts), eid))
+            for v in errs_by_user.values():
+                v.sort()
+            for eid, ts, u, kind in rows:
+                if kind != "click":
+                    continue
+                prior = [(tt, xid) for tt, xid in errs_by_user.get(u, [])
+                         if tt <= us(ts)]
+                want = max(prior)[1] if prior else None
+                assert got[eid] == want, (seed, eid)
