@@ -281,6 +281,34 @@ _COMMON_SQL: dict[str, str] = {
         GROUP BY fp
         HAVING COUNT(*) >= 1
     """,
+    # W4 — moving-average frame (ROWS BETWEEN) per customer; DECIMAL avg
+    # keeps the two engines bit-comparable after rounding, and the unique
+    # o_orderkey tiebreak makes every frame deterministic.
+    "window_moving_avg": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 3) AS ma3
+        FROM orders
+    """,
+    # W5 — NTILE quartiles *within* order-priority partitions (never a
+    # global single-partition window), then collapsed to per-tile stats so
+    # the output stays bounded at any SF.
+    "ntile_price_quartiles": """
+        SELECT o_orderpriority, tile,
+               COUNT(*) AS n,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM (
+            SELECT o_orderpriority, o_totalprice,
+                   NTILE(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS tile
+            FROM orders
+        ) t
+        GROUP BY o_orderpriority, tile
+    """,
 }
 
 
