@@ -1431,6 +1431,26 @@ def _q_histogram_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X10 — explicit two-stage salted aggregation (BASELINE.json's
+    # "explicit salting of hot blocking keys" mandate as a standalone,
+    # oracle-gated operator): a skewed user_id never lands on one
+    # reducer — stage 1 partial-aggregates per (user_id, salt-of-16),
+    # stage 2 combines the 16 partials per user. DECIMAL sums keep the
+    # re-associated addition bit-identical to the unsalted oracle plan.
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("pv"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.round(F.sum("pv").cast("double"), 3).alias("total_value"),
+    )
+
+
 def _q_er_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extraction stage (mapInPandas greedy matcher) — rows-only; parity
     # vs the pure-Python oracle is pinned byte-identically in pytest.
@@ -1493,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rollup_revenue": _q_rollup_revenue,
             "calendar_fill": _q_calendar_fill,
             "histogram_lengths": _q_histogram_lengths,
+            "salted_agg": _q_salted_agg,
             "er_mentions": _q_er_mentions,
             "er_clusters": _q_er_clusters,
         }
@@ -1843,6 +1864,16 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*) AS n
                 FROM documents
                 GROUP BY lang, CAST(FLOOR(n_chars / 100) AS BIGINT)
+            """,
+            # plain one-stage GROUP BY: the salted two-stage Spark plan
+            # must be semantically invisible
+            "salted_agg": """
+                SELECT user_id,
+                       COUNT(*) AS n_events,
+                       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                  AS DOUBLE), 3) AS total_value
+                FROM events
+                GROUP BY user_id
             """,
         }
     )
