@@ -1431,6 +1431,48 @@ def _q_histogram_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style intra-document repetition signal (top-token share of
+    # the doc): per-doc token histogram -> max/total. All-integer until
+    # the final single division, so cross-engine exact; two partial-
+    # aggregated shuffles, both keyed by doc_id (co-partitioned).
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_toks,
+               CAST(MAX(n) AS BIGINT) AS top_tok_n,
+               ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 4)
+                   AS rep_ratio
+        FROM (
+            SELECT doc_id, tok, COUNT(*) AS n
+            FROM (SELECT doc_id, explode(split(text, ' ')) AS tok
+                  FROM documents) t
+            GROUP BY doc_id, tok
+        ) h
+        GROUP BY doc_id
+    """)
+
+
+def _q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-level vocabulary signal per lang: distinct forms, hapax
+    # legomena (forms seen once), and their all-integer counts — an
+    # aggregation-over-aggregation shape (vocab histogram -> lang stats)
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT lang,
+               COUNT(*) AS n_forms,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM (
+            SELECT lang, tok, COUNT(*) AS n
+            FROM (SELECT lang, explode(split(text, ' ')) AS tok
+                  FROM documents) t
+            GROUP BY lang, tok
+        ) v
+        GROUP BY lang
+    """)
+
+
 def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # X10 — explicit two-stage salted aggregation (BASELINE.json's
     # "explicit salting of hot blocking keys" mandate as a standalone,
@@ -1514,6 +1556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "calendar_fill": _q_calendar_fill,
             "histogram_lengths": _q_histogram_lengths,
             "salted_agg": _q_salted_agg,
+            "repetition_ratio": _q_repetition_ratio,
+            "hapax_ratio": _q_hapax_ratio,
             "er_mentions": _q_er_mentions,
             "er_clusters": _q_er_clusters,
         }
@@ -1864,6 +1908,33 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*) AS n
                 FROM documents
                 GROUP BY lang, CAST(FLOOR(n_chars / 100) AS BIGINT)
+            """,
+            "repetition_ratio": """
+                SELECT doc_id,
+                       CAST(SUM(n) AS BIGINT) AS n_toks,
+                       CAST(MAX(n) AS BIGINT) AS top_tok_n,
+                       ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 4)
+                           AS rep_ratio
+                FROM (
+                    SELECT doc_id, tok, COUNT(*) AS n
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents) t
+                    GROUP BY doc_id, tok
+                ) h
+                GROUP BY doc_id
+            """,
+            "hapax_ratio": """
+                SELECT lang,
+                       COUNT(*) AS n_forms,
+                       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_hapax
+                FROM (
+                    SELECT lang, tok, COUNT(*) AS n
+                    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                          FROM documents) t
+                    GROUP BY lang, tok
+                ) v
+                GROUP BY lang
             """,
             # plain one-stage GROUP BY: the salted two-stage Spark plan
             # must be semantically invisible
