@@ -24,7 +24,7 @@ inputs on partitioning alone.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.cc import connected_components

@@ -171,16 +171,22 @@ def add_block_keys(
         # O(pairs) — the blocking stage runs over deduped norms
         from .phonetic import dm_primary_udf, dm_secondary_udf, latin_skeleton_udf
 
+        # nullif guards the degenerate case: double_metaphone / latin_skeleton
+        # return '' for surfaces with no Latin letters (CJK, Cyrillic, digits),
+        # and a shared 'dm1:'/'tr:' key would cross-pair every such surface —
+        # O(n^2) meaningless candidates at web scale. Empty code -> NULL key,
+        # dropped by the post-explode filter.
         extra = []
         if cfg.metaphone_keys:
-            extra.append(F.concat(F.lit("dm1:"), dm_primary_udf(first_w)))
-            extra.append(F.concat(F.lit("dm2:"), dm_secondary_udf(first_w)))
+            extra.append(F.concat(F.lit("dm1:"), F.nullif(dm_primary_udf(first_w), F.lit(""))))
+            extra.append(F.concat(F.lit("dm2:"), F.nullif(dm_secondary_udf(first_w), F.lit(""))))
         if cfg.translit_keys:
-            extra.append(F.concat(F.lit("tr:"), latin_skeleton_udf(norm)))
+            extra.append(F.concat(F.lit("tr:"), F.nullif(latin_skeleton_udf(norm), F.lit(""))))
         keys = F.array_union(keys, F.array(*extra))
-    return mentions.select(
-        "mention_id", "norm", F.explode(keys).alias("block_key")
-    ).filter(F.col("mention_id").isNotNull())
+    return (
+        mentions.select("mention_id", "norm", F.explode(keys).alias("block_key"))
+        .filter(F.col("mention_id").isNotNull() & F.col("block_key").isNotNull())
+    )
 
 
 def _hot_replicas(hot: DataFrame, g: int) -> DataFrame:

@@ -68,16 +68,32 @@ def _matcher_for(lang: str, word2ner: list, fp: str, cfg: PipelineConfig) -> Kaw
     return m
 
 
-def _matcher_from_file(lang: str, path: str) -> KawaMatcher:
+def _matcher_from_file(
+    lang: str, path: str, cfg: PipelineConfig | None = None
+) -> KawaMatcher:
     """Per-(path, lang) matcher loaded from a saved cascade (S5): the
     gzip-JSON artifact is read once per executor process per language —
     no per-job add_word2ner rebuild. ``path`` must be visible to the
-    executors (shared FS / distributed cache via --files)."""
+    executors (shared FS / distributed cache via --files).
+
+    The artifact carries the normalization params it was built with; if
+    they disagree with the pipeline cfg the downstream blocking stage
+    would silently mis-split norms (add_block_keys splits on
+    cfg.connector), so a mismatch is an error, not a warning."""
     key = (path, lang)
     m = _MATCHER_CACHE.get(key)
     if m is None:
         m = KawaMatcher.load(path, target_lang=lang)
         _MATCHER_CACHE[key] = m
+    if cfg is not None:
+        for attr in ("connector", "compound_word_step", "word_shingle_cutoff"):
+            if getattr(m, attr) != getattr(cfg, attr):
+                raise ValueError(
+                    f"saved lexicon {path!r} was built with {attr}="
+                    f"{getattr(m, attr)!r} but the pipeline cfg has "
+                    f"{getattr(cfg, attr)!r}; rebuild the lexicon or "
+                    "align the cfg"
+                )
     return m
 
 
@@ -162,7 +178,7 @@ def extract_mentions(
                 if lexicon is not None:
                     m = _matcher_for(lang or "", lexicon, fp, cfg)
                 else:
-                    m = _matcher_from_file(lang or "", lexicon_path)
+                    m = _matcher_from_file(lang or "", lexicon_path, cfg)
                 res = m.tokenize(text or "")
                 # ONE sentinel row per document carries the extracted
                 # text; mention rows do NOT repeat it (at 10^12 docs the

@@ -80,7 +80,10 @@ def asof_join(
 
     Equal timestamps: the build row sorts first, so a build event at
     exactly the probe's timestamp IS matched (DuckDB ASOF `>=`
-    semantics).
+    semantics). Build rows tied on (key, ts) are broken by the carry
+    columns themselves (ascending, so the greatest carry tuple wins) —
+    without this the winner would depend on shuffle order and the
+    output would be nondeterministic run to run.
     """
     pcols = probe.columns
     p = probe.withColumn("_is_probe", F.lit(1))
@@ -97,7 +100,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col, "_is_probe")
+        .orderBy(ts_col, "_is_probe", *carry_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

@@ -71,11 +71,10 @@ class ERPipeline:
         self.spark = spark
         self.word2ner = word2ner
         self.lexicon_path = lexicon_path
-        if out_dir:
-            # reliable checkpoints for the CC loop (see operators/cc._ckpt):
-            # localCheckpoint blocks die with an executor; with a durable
-            # out_dir the iteration state must survive node loss too
-            spark.sparkContext.setCheckpointDir(os.path.join(out_dir, "_cc_ckpt"))
+        # (checkpoint dir is set at run() time, not here: setCheckpointDir
+        # is session-global, and constructing a second pipeline before
+        # running the first would redirect the first's CC iteration state
+        # into the second's out_dir)
         self.embeddings = embeddings or {}
         self.cfg = cfg or DEFAULT_CONFIG
         self.out_dir = out_dir
@@ -118,8 +117,15 @@ class ERPipeline:
         if pcols:
             # logical (Iceberg-style) partition lineage: key by value
             per_part = out.groupBy(*pcols).count().collect()
+            # NULL partition values land in the Hive default partition dir;
+            # key the manifest the same way so manifest keys always match
+            # the physical layout (f"{c}=None" would never match on disk)
+            hive_null = "__HIVE_DEFAULT_PARTITION__"
             partitions = {
-                "/".join(f"{c}={r[c]}" for c in pcols): r["count"]
+                "/".join(
+                    f"{c}={r[c] if r[c] is not None else hive_null}"
+                    for c in pcols
+                ): r["count"]
                 for r in per_part
             }
         else:
@@ -185,6 +191,13 @@ class ERPipeline:
 
     def run(self, docs: DataFrame, resume: bool = False) -> DataFrame:
         cfg = self.cfg
+        if self.out_dir:
+            # reliable checkpoints for the CC loop (see operators/cc._ckpt):
+            # localCheckpoint blocks die with an executor; with a durable
+            # out_dir the iteration state must survive node loss too
+            self.spark.sparkContext.setCheckpointDir(
+                os.path.join(self.out_dir, "_cc_ckpt")
+            )
         # clustering never reads the spliced text -> emit_text=False
         # keeps the 10^12-row text column out of Arrow/cache entirely
         # (the byte-identity surface is extracted_text(), a separate run)

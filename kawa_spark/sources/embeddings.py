@@ -21,9 +21,6 @@ The reference loads embeddings driver-side into a memmapped KB
 
 from __future__ import annotations
 
-import struct
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

@@ -23,6 +23,8 @@ tested, and the extractor can be swapped per deployment.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,17 +49,35 @@ def read_pages(
     source: str,
     derive_text_from_html: bool = True,
     keep_html: bool = False,
+    fmt: str | None = None,
 ) -> DataFrame:
     """Iceberg table name or parquet path -> pages DataFrame with the
     contract schema. Column pruning happens HERE so the binary html
     column never reaches the scan output unless requested — on a 10^12
     -row table the html bytes dominate IO and must prune out of every
     text-only plan (verified by test: the parquet ReadSchema excludes
-    html)."""
-    if "/" in source or source.endswith(".parquet"):
+    html).
+
+    ``fmt``: force ``"parquet"`` or ``"table"`` dispatch. When omitted,
+    paths are recognized by a '/' or '.parquet' suffix OR by existing on
+    the local filesystem (so a bare relative directory name like
+    ``"pages_out"`` is not misrouted to the catalog)."""
+    if fmt is None:
+        is_path = (
+            "/" in source
+            or source.endswith(".parquet")
+            or os.path.exists(source)
+        )
+        fmt = "parquet" if is_path else "table"
+    if fmt == "parquet" and os.path.exists(source):
+        # the JVM resolves relative paths against ITS cwd, not Python's
+        source = os.path.abspath(source)
+    if fmt == "parquet":
         df = spark.read.parquet(source)
-    else:
+    elif fmt == "table":
         df = spark.read.table(source)
+    else:
+        raise ValueError(f"fmt must be 'parquet' or 'table', got {fmt!r}")
     missing = [c for c in ("url", "text") if c not in df.columns]
     if missing:
         raise ValueError(f"pages source missing contract columns: {missing}")

@@ -63,3 +63,23 @@ class TestReadPages:
     def test_keep_html(self, spark, pages_parquet):
         pages = read_pages(spark, pages_parquet, keep_html=True)
         assert "html" in pages.columns
+
+
+def test_bare_relative_dir_is_read_as_path(spark, tmp_path, monkeypatch):
+    """A parquet directory named without '/' or '.parquet' must not be
+    misrouted to the table catalog."""
+    import os
+
+    import pandas as pd
+
+    from kawa_spark.sources.pages import read_pages
+
+    d = tmp_path / "pages_out"
+    spark.createDataFrame(
+        pd.DataFrame({"url": ["u1"], "text": ["hello"], "lang": ["en"]})
+    ).write.parquet(str(d))
+    monkeypatch.chdir(tmp_path)
+    df = read_pages(spark, "pages_out")
+    assert df.count() == 1
+    # and the explicit override still works both ways
+    assert read_pages(spark, str(d), fmt="parquet").count() == 1

@@ -74,3 +74,30 @@ class TestBlockingIntegration:
             r["block_key"].startswith(("dm1:", "dm2:", "tr:"))
             for r in keyed.collect()
         )
+
+    def test_non_latin_norms_get_no_degenerate_keys(self, spark):
+        # double_metaphone / latin_skeleton return '' for surfaces with
+        # no Latin letters; a shared bare 'dm1:'/'tr:' key would
+        # cross-pair every CJK/Cyrillic-free surface (O(n^2) at web
+        # scale). Empty codes must yield NO key, not an empty-payload one.
+        pdf = pd.DataFrame(
+            {
+                "mention_id": ["m1", "m2", "m3"],
+                "norm": ["北京", "上海", "smith"],
+            }
+        )
+        cfg = PipelineConfig(metaphone_keys=True, translit_keys=True)
+        keyed = add_block_keys(spark.createDataFrame(pdf), cfg)
+        rows = keyed.collect()
+        bad = [r for r in rows if r["block_key"] in ("dm1:", "dm2:", "tr:")]
+        assert not bad, f"degenerate empty-payload keys: {bad}"
+        # the Latin norm still gets its phonetic keys
+        m3 = {r["block_key"] for r in rows if r["mention_id"] == "m3"}
+        assert any(k.startswith("dm1:") for k in m3)
+        assert any(k.startswith("tr:") for k in m3)
+        # and the CJK norms never share a phonetic/translit bucket
+        m1 = {r["block_key"] for r in rows if r["mention_id"] == "m1"}
+        m2 = {r["block_key"] for r in rows if r["mention_id"] == "m2"}
+        assert not {
+            k for k in m1 & m2 if k.startswith(("dm1:", "dm2:", "tr:"))
+        }

@@ -254,3 +254,56 @@ class TestPartitionedLineage:
         ).collect()
         assert sorted(map(tuple, first)) == sorted(map(tuple, second))
         assert all(r.resumed for r in pipe2.metrics)
+
+    def test_null_partition_value_keys_match_hive_layout(
+        self, spark, corpus, docs_df, tmp_path
+    ):
+        """Rows with a NULL partition value land in
+        lang=__HIVE_DEFAULT_PARTITION__/ on disk; the manifest must key
+        that partition the same way (not 'lang=None')."""
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        docs_null = docs_df.withColumn(
+            "lang",
+            F.when(F.col("url").endswith("0"), F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+        out = str(tmp_path / "er_null_part")
+        pipe = ERPipeline(
+            spark, corpus.word2ner, corpus.embeddings,
+            out_dir=out, partition_cols=["lang"],
+        )
+        pipe.run(docs_null)
+        with open(os.path.join(out, "mentions", "_MANIFEST.json")) as f:
+            m = json.load(f)
+        langs_on_disk = {
+            d for d in os.listdir(os.path.join(out, "mentions"))
+            if d.startswith("lang=")
+        }
+        assert langs_on_disk == set(m["partitions"])
+        assert "lang=None" not in m["partitions"]
+
+
+class TestSavedLexiconConfigGuard:
+    def test_connector_mismatch_raises(self, spark, corpus, docs_df, tmp_path):
+        """A lexicon saved with one connector used under a cfg with a
+        different one would silently corrupt blocking keys — must raise."""
+        import pytest as _pytest
+
+        from kawa_spark.config import PipelineConfig
+        from kawa_spark.lexicon.matcher import KawaMatcher
+        from kawa_spark.pipeline import ERPipeline
+
+        path = str(tmp_path / "lex_conn.json.gz")
+        KawaMatcher(
+            "", word2ner=[list(r) for r in corpus.word2ner], connector="-"
+        ).save(path)
+        cfg = PipelineConfig()  # default connector '_'
+        assert cfg.connector != "-"
+        pipe = ERPipeline(spark, lexicon_path=path, cfg=cfg)
+        with _pytest.raises(Exception, match="connector"):
+            pipe.run(docs_df).collect()

@@ -245,3 +245,22 @@ class TestRandomizedReferenceModels:
                          if tt <= us(ts)]
                 want = max(prior)[1] if prior else None
                 assert got[eid] == want, (seed, eid)
+
+
+class TestAsofTiebreak:
+    def test_tied_build_rows_resolve_to_max_carry(self, spark):
+        # two build rows at the SAME (key, ts): the winner must be the
+        # greatest carry tuple, deterministically — not shuffle order.
+        probe = spark.createDataFrame(
+            [("p1", "u1", 100)], ["event_id", "user_id", "t"]
+        )
+        build = spark.createDataFrame(
+            [("u1", 50, "e-low"), ("u1", 50, "e-high"), ("u1", 50, "e-mid")],
+            ["user_id", "t", "err_id"],
+        )
+        for _ in range(3):  # repeated runs: same answer every time
+            got = asof_join(
+                probe, build.repartition(5), "user_id", "t", ["err_id"]
+            ).collect()
+            assert len(got) == 1
+            assert got[0]["err_id"] == "e-mid"  # max('e-low','e-high','e-mid')
