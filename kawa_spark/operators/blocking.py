@@ -58,13 +58,18 @@ def minhash_signature(col: Column, perms: int, n: int, native_hash: str = "xxhas
     if native_hash == "md5":
         # oracle-parity path: ONE md5 per gram (computed in a transform
         # so it cannot be re-evaluated per permutation), then each
-        # permutation takes a distinct 8-hex-char slice of the digest
-        # (stride 3: offsets 1,4,..,22 — 32 hex chars bound this to 8
-        # perms) and the signature is the per-slice min. Mirrored by the
-        # DuckDB SQL in __spark_entry__ (same min over the same slice
-        # set — fold order does not change a min). "~" (0x7E) sorts
-        # above every lowercase-hex digest, so it is a safe string
-        # +infinity.
+        # permutation takes an 8-hex-char slice of the digest at stride
+        # 4 (offsets 1,5,..,29 — 32 hex chars bound this to 8 perms; the
+        # last slice clips to 4 chars, consistently on both engines) and
+        # the signature is the per-slice min. Stride 4 keeps the first 4
+        # comparison chars of adjacent permutations disjoint — stride 3
+        # shared 5 of 8 chars, so for docs with >~16^3 distinct shingles
+        # the min was decided inside the overlap, correlating
+        # permutations and weakening LSH band independence. Mirrored by
+        # the DuckDB SQL in __spark_entry__ (same min over the same
+        # slice set — fold order does not change a min). "~" (0x7E)
+        # sorts above every lowercase-hex digest, so it is a safe
+        # string +infinity.
         if perms > 8:
             raise ValueError("md5 minhash path supports at most 8 perms")
         digests = F.transform(grams, lambda g: F.md5(g))
@@ -72,7 +77,7 @@ def minhash_signature(col: Column, perms: int, n: int, native_hash: str = "xxhas
 
         def s_step(acc: Column, h: Column) -> Column:
             hashes = F.array(
-                *[h.substr(F.lit(p * 3 + 1), F.lit(8)) for p in range(perms)]
+                *[h.substr(F.lit(p * 4 + 1), F.lit(8)) for p in range(perms)]
             )
             return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
@@ -189,72 +194,117 @@ def add_block_keys(
     )
 
 
-def _hot_replicas(hot: DataFrame, g: int) -> DataFrame:
+def _hot_replicas(
+    hot: DataFrame,
+    g: int,
+    key_col: str = "block_key",
+    id_col: str = "mention_id",
+) -> DataFrame:
     """Triangle-partition replication: mention m (group g(m)) replicates
     to the g sub-blocks {(min(g(m),h), max(g(m),h))}. Max sub-block size
     is ~2s/g for a key of size s — the bound the skew test pins."""
-    hot = hot.withColumn("grp", F.pmod(F.xxhash64("mention_id"), F.lit(g)))
+    hot = hot.withColumn(
+        "grp", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(g))
+    )
     return hot.withColumn(
         "h", F.explode(F.sequence(F.lit(0), F.lit(g - 1)))
     ).withColumn(
         "sub_key",
         F.concat_ws(
             ":",
-            F.col("block_key"),
+            F.col(key_col).cast("string"),
             F.least("grp", "h").cast("string"),
             F.greatest("grp", "h").cast("string"),
         ),
     )
 
 
-def candidate_pairs(keyed: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
-    """(mention_id, norm, block_key) -> (block_key, id_a, norm_a, id_b, norm_b)
+def bounded_self_pairs(
+    keyed: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "mention_id",
+    payload_cols: tuple[str, ...] = (),
+    threshold: int = 2000,
+    groups: int = 8,
+) -> DataFrame:
+    """Skew-bounded self equi-join: emits the IDENTICAL row multiset to
+
+        keyed.alias('a').join(keyed.alias('b'), key_col)
+             .filter(a.id < b.id)
+
+    (one row per shared key per ordered pair), but keys hotter than
+    ``threshold`` are triangle-partitioned into ``groups`` sub-blocks so
+    no single task materializes an O(s²) bucket — the 100-TB shape for
+    every LSH/blocking bucket join (BASELINE.json explicit-skew
+    mandate). Pair-set invariance is pinned by
+    tests/test_pipeline_spark.py::test_triangle_partitioning_equals_naive
+    and tests/test_skew.py.
 
     Cold keys: plain self equi-join (sort-merge/shuffle-hash, AQE picks).
-    Hot keys: triangle partitioning — mention m in group g(m) replicates
-    to sub-blocks {(min(g,h), max(g,h)) : h in 0..G-1}; a pair (x, y)
-    meets in exactly one sub-block (g(x), g(y)) ordered, so the pair set
-    is identical to the naive join while each task is bounded."""
-    cfg = cfg or PipelineConfig()
-    counts = keyed.groupBy("block_key").count()
-    hot_keys = counts.filter(F.col("count") > cfg.hot_key_threshold).select("block_key")
+    Hot keys: row x in group g(x) replicates to sub-blocks
+    {(min(g(x),h), max(g(x),h)) : h in 0..groups-1}; a pair (x, y) is
+    kept only where x's replica was addressed to y's group, so it meets
+    in exactly one sub-block.
 
-    cold = keyed.join(F.broadcast(hot_keys), "block_key", "left_anti")
-    a, b = cold.alias("a"), cold.alias("b")
+    Output: (key_col, id_a, id_b, <p>_a, <p>_b for each payload col).
+    """
+    counts = keyed.groupBy(key_col).count()
+    hot_keys = counts.filter(F.col("count") > threshold).select(key_col)
+
+    def out_cols() -> list[Column]:
+        cols = [
+            F.col(f"a.{key_col}").alias(key_col),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        ]
+        for p in payload_cols:
+            cols.append(F.col(f"a.{p}").alias(f"{p}_a"))
+            cols.append(F.col(f"b.{p}").alias(f"{p}_b"))
+        return cols
+
+    cold = keyed.join(F.broadcast(hot_keys), key_col, "left_anti")
+    ca, cb = cold.alias("a"), cold.alias("b")
     cold_pairs = (
-        a.join(b, "block_key")
-        .filter(F.col("a.mention_id") < F.col("b.mention_id"))
-        .select(
-            "block_key",
-            F.col("a.mention_id").alias("id_a"),
-            F.col("a.norm").alias("norm_a"),
-            F.col("b.mention_id").alias("id_b"),
-            F.col("b.norm").alias("norm_b"),
-        )
+        ca.join(cb, F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(*out_cols())
     )
 
     hot = _hot_replicas(
-        keyed.join(F.broadcast(hot_keys), "block_key"), cfg.hot_key_groups
+        keyed.join(F.broadcast(hot_keys), key_col),
+        groups,
+        key_col=key_col,
+        id_col=id_col,
     )
     ha, hb = hot.alias("a"), hot.alias("b")
     hot_pairs = (
-        ha.join(hb, "sub_key")
+        ha.join(hb, F.col("a.sub_key") == F.col("b.sub_key"))
         .filter(
-            (F.col("a.mention_id") < F.col("b.mention_id"))
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             # a pair (x, y) is kept only in the sub-block where x's
             # replica was addressed to y's group — exactly one sub-block
             & (F.col("a.h") == F.col("b.grp"))
         )
-        .select(
-            F.col("a.block_key").alias("block_key"),
-            F.col("a.mention_id").alias("id_a"),
-            F.col("a.norm").alias("norm_a"),
-            F.col("b.mention_id").alias("id_b"),
-            F.col("b.norm").alias("norm_b"),
-        )
+        .select(*out_cols())
     )
-    pairs = cold_pairs.unionByName(hot_pairs)
-    # a pair found via several key spaces is scored once
+    return cold_pairs.unionByName(hot_pairs)
+
+
+def candidate_pairs(keyed: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """(mention_id, norm, block_key) -> (block_key, id_a, norm_a, id_b, norm_b)
+
+    Skew-bounded pair generation (see :func:`bounded_self_pairs`), then
+    one dedup shuffle: a pair found via several key spaces is scored
+    once."""
+    cfg = cfg or PipelineConfig()
+    pairs = bounded_self_pairs(
+        keyed,
+        key_col="block_key",
+        id_col="mention_id",
+        payload_cols=("norm",),
+        threshold=cfg.hot_key_threshold,
+        groups=cfg.hot_key_groups,
+    )
     return pairs.groupBy("id_a", "id_b").agg(
         F.min("block_key").alias("block_key"),
         F.first("norm_a").alias("norm_a"),

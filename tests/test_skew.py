@@ -4,7 +4,7 @@
 import pandas as pd
 from pyspark.sql import functions as F
 
-from kawa_spark.operators.blocking import _hot_replicas
+from kawa_spark.operators.blocking import _hot_replicas, bounded_self_pairs
 
 
 def test_hot_key_max_subblock_bounded(spark):
@@ -33,3 +33,49 @@ def test_hot_key_max_subblock_bounded(spark):
     assert sizes["mx"] <= 3 * s // g, sizes
     # all g*(g+1)/2 sub-blocks exist (uniform-ish hash spread)
     assert sizes["n_blocks"] == g * (g + 1) // 2
+
+
+def test_bounded_self_pairs_hot_band_key_equals_naive(spark):
+    """One planted hot LSH band key (the ngram_lsh_dedup shape: boilerplate
+    docs all hashing to one band bucket) + cold keys: the skew-bounded join
+    must (a) produce the exact naive pair multiset and (b) never build a
+    sub-block bigger than ~2s/g."""
+    s, g = 300, 8
+    rows = [("hot", i, 100 + (i % 7)) for i in range(s)]
+    rows += [(f"cold{i % 5}", 1000 + i, 50 + i) for i in range(40)]
+    keyed = spark.createDataFrame(rows, "bk string, doc_id long, n_tok long")
+
+    bounded = bounded_self_pairs(
+        keyed, key_col="bk", id_col="doc_id", payload_cols=("n_tok",),
+        threshold=100, groups=g,
+    )
+    got = sorted(
+        (r["bk"], r["id_a"], r["id_b"], r["n_tok_a"], r["n_tok_b"])
+        for r in bounded.collect()
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    naive = (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.bk").alias("bk"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_tok").alias("n_tok_a"),
+            F.col("b.n_tok").alias("n_tok_b"),
+        )
+    )
+    want = sorted(
+        (r["bk"], r["id_a"], r["id_b"], r["n_tok_a"], r["n_tok_b"])
+        for r in naive.collect()
+    )
+    assert got == want
+    assert len(got) == s * (s - 1) // 2 + 5 * 8 * 7 // 2
+
+    hot = keyed.filter(F.col("bk") == "hot")
+    sizes = (
+        _hot_replicas(hot, g, key_col="bk", id_col="doc_id")
+        .groupBy("sub_key").count()
+        .agg(F.max("count").alias("mx")).first()
+    )
+    assert sizes["mx"] <= 3 * s // g, sizes
