@@ -170,32 +170,120 @@ def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(jaro_winkler_batch(a.tolist(), b.tolist()), dtype="float64")
 
 
+def cosine_scalar(
+    norm_a: str, norm_b: str, vecs: dict[str, np.ndarray], connector: str = "_"
+) -> float:
+    """Reference per-pair cosine: mean-pooled, L2-normalized token
+    vectors; NaN when either side has no known token (or a zero-norm
+    pool). The batched UDF below is pinned against this in pytest."""
+
+    def embed(norm: str):
+        toks = [vecs[t] for t in (norm or "").split(connector) if t in vecs]
+        if not toks:
+            return None
+        v = np.mean(np.stack(toks).astype(np.float64), axis=0)
+        n = np.linalg.norm(v)
+        return v / n if n else None
+
+    va, vb = embed(norm_a), embed(norm_b)
+    if va is None or vb is None:
+        return float("nan")
+    return float(np.dot(va, vb))
+
+
+def batch_cosine(
+    a: list[str],
+    b: list[str],
+    tok2id: dict[str, int],
+    mat: np.ndarray,
+    connector: str = "_",
+    _cache: dict | None = None,
+) -> np.ndarray:
+    """Vectorized pair cosine: every per-pair op is a numpy matrix op.
+
+    Python touches only the UNIQUE surfaces in the batch (tokenize +
+    gather token ids — candidate pairs repeat surfaces heavily, and a
+    per-process cache memoizes across batches); pooling is one
+    ``add.reduceat`` over the stacked (vocab, dim) matrix, normalization
+    one rowwise divide, and the pair dots one einsum. This replaces the
+    round-2-flagged per-element Python loop in the O(candidate-pairs)
+    hot path. float64 accumulation throughout; pinned against
+    cosine_scalar by a fuzz test (tests/test_pipeline_spark.py)."""
+    n = len(a)
+    out = np.full(n, np.nan)
+    if not n:
+        return out
+    allnorms = ["" if x is None else x for x in a] + [
+        "" if x is None else x for x in b
+    ]
+    uniq, inv = np.unique(np.asarray(allnorms, dtype=object), return_inverse=True)
+    cache = _cache if _cache is not None else {}
+    id_lists: list[tuple[int, ...]] = []
+    for s in uniq:
+        ids = cache.get(s)
+        if ids is None:
+            ids = tuple(
+                tok2id[t] for t in s.split(connector) if t in tok2id
+            )
+            if len(cache) < 1_000_000:  # bound the per-process memo
+                cache[s] = ids
+        id_lists.append(ids)
+    counts = np.fromiter((len(x) for x in id_lists), dtype=np.int64, count=len(uniq))
+    pooled = np.zeros((len(uniq), mat.shape[1] if mat.size else 1), dtype=np.float64)
+    live = counts > 0
+    if live.any():
+        flat = np.fromiter(
+            (i for ids in id_lists for i in ids), dtype=np.int64, count=int(counts.sum())
+        )
+        offsets = np.zeros(int(live.sum()), dtype=np.int64)
+        np.cumsum(counts[live], out=offsets)
+        offsets = np.concatenate(([0], offsets[:-1]))
+        pooled[live] = np.add.reduceat(
+            mat[flat].astype(np.float64), offsets, axis=0
+        ) / counts[live, None]
+    nrm = np.linalg.norm(pooled, axis=1)
+    valid = live & (nrm > 0)
+    unit = np.zeros_like(pooled)
+    unit[valid] = pooled[valid] / nrm[valid, None]
+    ua, ub = unit[inv[:n]], unit[inv[n:]]
+    dots = np.einsum("ij,ij->i", ua, ub)
+    ok = valid[inv[:n]] & valid[inv[n:]]
+    out[ok] = dots[ok]
+    return out
+
+
 def make_cosine_udf(spark, embeddings: dict[str, np.ndarray], connector: str = "_"):
     """Cosine over mean-pooled, L2-normalized token vectors from a
     broadcast dict[str, float32 array]. Unknown-token mentions -> NaN
-    (the score falls back to string similarity only)."""
+    (the score falls back to string similarity only). The heavy state —
+    token-id dict + stacked (vocab, dim) float32 matrix — is built once
+    per task from the broadcast and reused across Arrow batches, so the
+    broadcast ships the dict once per executor and the per-batch work is
+    pure numpy (see batch_cosine)."""
     bc = spark.sparkContext.broadcast(
         {k: np.asarray(v, dtype=np.float32) for k, v in embeddings.items()}
     )
+    state: dict = {}
+
+    def _ensure():
+        if "mat" not in state:
+            vecs = bc.value
+            toks = list(vecs.keys())
+            state["tok2id"] = {t: i for i, t in enumerate(toks)}
+            state["mat"] = (
+                np.stack([np.asarray(vecs[t], dtype=np.float32) for t in toks])
+                if toks
+                else np.zeros((0, 1), dtype=np.float32)
+            )
+            state["memo"] = {}
+        return state["tok2id"], state["mat"], state["memo"]
 
     @F.pandas_udf(DoubleType())
     def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        vecs = bc.value
-
-        def embed(norm: str):
-            toks = [vecs[t] for t in (norm or "").split(connector) if t in vecs]
-            if not toks:
-                return None
-            v = np.mean(toks, axis=0)
-            n = np.linalg.norm(v)
-            return v / n if n else None
-
-        out = np.full(len(a), np.nan)
-        for i, (x, y) in enumerate(zip(a, b)):
-            va, vb = embed(x), embed(y)
-            if va is not None and vb is not None:
-                out[i] = float(np.dot(va, vb))
-        return pd.Series(out)
+        tok2id, mat, memo = _ensure()
+        return pd.Series(
+            batch_cosine(a.tolist(), b.tolist(), tok2id, mat, connector, memo)
+        )
 
     return cos_udf
 

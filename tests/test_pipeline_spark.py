@@ -137,6 +137,54 @@ class TestScoring:
             want = jaro_winkler(x or "", y or "")
             assert got[i] == pytest.approx(want, abs=1e-12), (x, y)
 
+    def test_batch_cosine_matches_scalar(self, corpus):
+        """The matmul-vectorized cosine path (pair-scoring hot loop when
+        embeddings are on) must agree with the per-pair scalar reference
+        on every pair: known/unknown tokens, multi-token compounds,
+        empties, None, and repeated surfaces (the memo path)."""
+        import math
+        import random
+
+        import numpy as np
+
+        from kawa_spark.operators.scoring import batch_cosine, cosine_scalar
+
+        vecs = {k: np.asarray(v, dtype=np.float32) for k, v in corpus.embeddings.items()}
+        toks = list(vecs.keys())
+        tok2id = {t: i for i, t in enumerate(toks)}
+        mat = np.stack([vecs[t] for t in toks])
+
+        rng = random.Random(7)
+        known = toks[:40]
+
+        def surf():
+            r = rng.random()
+            if r < 0.05:
+                return None
+            if r < 0.10:
+                return ""
+            if r < 0.20:
+                return "zz_unknown_" + str(rng.randint(0, 3))
+            k = rng.randint(1, 3)
+            return "_".join(rng.choice(known) for _ in range(k))
+
+        a = [surf() for _ in range(600)]
+        b = [surf() for _ in range(600)]
+        # force repeats so the unique/memo path is exercised
+        a[100:200] = a[0:100]
+        b[100:200] = b[0:100]
+        memo: dict = {}
+        got = batch_cosine(a, b, tok2id, mat, "_", memo)
+        # second call hits the memo for every surface
+        got2 = batch_cosine(a, b, tok2id, mat, "_", memo)
+        for i in range(len(a)):
+            want = cosine_scalar(a[i], b[i], vecs, "_")
+            if math.isnan(want):
+                assert math.isnan(got[i]) and math.isnan(got2[i]), (a[i], b[i])
+            else:
+                assert got[i] == pytest.approx(want, abs=1e-9), (a[i], b[i])
+                assert got2[i] == got[i]
+
     def test_score_pipeline(self, spark, corpus):
         pdf = pd.DataFrame(
             {
