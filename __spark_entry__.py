@@ -1330,11 +1330,15 @@ def _q_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter("event_type = 'click'").select(
         "event_id", "user_id", t.alias("t")
     )
-    errs = ev.filter("event_type = 'error'").select(
-        "user_id",
-        t.alias("t"),
-        F.col("event_id").alias("err_event_id"),
-        t.alias("err_us"),
+    # dedupe build rows on (user_id, t): DuckDB's ASOF JOIN does not
+    # specify which of several equal-timestamp build rows wins, so the
+    # comparison is made tie-proof by reducing them to one deterministic
+    # row (max event_id) before the join on BOTH engines.
+    errs = (
+        ev.filter("event_type = 'error'")
+        .groupBy("user_id", t.alias("t"))
+        .agg(F.max("event_id").alias("err_event_id"))
+        .withColumn("err_us", F.col("t"))
     )
     joined = asof_join(clicks, errs, "user_id", "t", ["err_event_id", "err_us"])
     return joined.select(
@@ -1862,9 +1866,10 @@ def oracle_sql() -> dict[str, str]:
                 WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
                            FROM events WHERE event_type = 'click'),
                      e AS (SELECT user_id, epoch_us(ts) AS t2,
-                                  event_id AS err_event_id,
+                                  MAX(event_id) AS err_event_id,
                                   epoch_us(ts) AS err_us
-                           FROM events WHERE event_type = 'error')
+                           FROM events WHERE event_type = 'error'
+                           GROUP BY user_id, epoch_us(ts))
                 SELECT c.event_id, c.user_id, c.t AS click_us,
                        e.err_event_id, e.err_us
                 FROM c ASOF LEFT JOIN e

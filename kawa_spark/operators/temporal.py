@@ -81,34 +81,49 @@ def asof_join(
     Equal timestamps: the build row sorts first, so a build event at
     exactly the probe's timestamp IS matched (DuckDB ASOF `>=`
     semantics). Build rows tied on (key, ts) are broken by the carry
-    columns themselves (ascending, so the greatest carry tuple wins) —
-    without this the winner would depend on shuffle order and the
-    output would be nondeterministic run to run.
+    STRUCT ascending (the greatest carry tuple wins) — without this the
+    winner would depend on shuffle order and the output would be
+    nondeterministic run to run.
+
+    Carry columns travel as ONE struct per build row, so the probe row
+    always receives an atomic build row — including any NULL fields in
+    it. Filling each carry column with an independent last(ignorenulls)
+    window would stitch values from different build rows whenever the
+    latest build row holds a NULL (the round-2 review finding).
     """
+    from pyspark.sql.types import StructField, StructType
+
     pcols = probe.columns
-    p = probe.withColumn("_is_probe", F.lit(1))
-    for c in carry_cols:
-        p = p.withColumn(c, F.lit(None).cast(build.schema[c].dataType))
-    b = build.select(key_col, ts_col, *carry_cols).withColumn(
-        "_is_probe", F.lit(0)
+    carry_type = StructType(
+        [StructField(c, build.schema[c].dataType) for c in carry_cols]
     )
+    p = probe.withColumn("_is_probe", F.lit(1)).withColumn(
+        "_carry", F.lit(None).cast(carry_type)
+    )
+    b = build.select(
+        key_col,
+        ts_col,
+        F.struct(*[F.col(c).alias(c) for c in carry_cols]).alias("_carry"),
+    ).withColumn("_is_probe", F.lit(0))
     for c in pcols:
         if c not in (key_col, ts_col):
             b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
-    u = p.select(*pcols, *carry_cols, "_is_probe").unionByName(
-        b.select(*pcols, *carry_cols, "_is_probe")
+    u = p.select(*pcols, "_carry", "_is_probe").unionByName(
+        b.select(*pcols, "_carry", "_is_probe")
     )
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col, "_is_probe", *carry_cols)
+        .orderBy(ts_col, "_is_probe", "_carry")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
         *pcols,
         "_is_probe",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry_cols],
+        F.last("_carry", ignorenulls=True).over(w).alias("_carry"),
     )
-    return filled.filter(F.col("_is_probe") == 1).drop("_is_probe")
+    return filled.filter(F.col("_is_probe") == 1).select(
+        *pcols, *[F.col(f"_carry.{c}").alias(c) for c in carry_cols]
+    )
 
 
 def bucketed_range_join(

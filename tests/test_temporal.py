@@ -264,3 +264,37 @@ class TestAsofTiebreak:
             ).collect()
             assert len(got) == 1
             assert got[0]["err_id"] == "e-mid"  # max('e-low','e-high','e-mid')
+
+
+class TestAsofNullCarry:
+    def test_latest_build_row_carries_its_nulls_atomically(self, spark):
+        """True ASOF semantics: the probe gets the LATEST preceding build
+        row as a unit — including its NULL fields. Per-column fill would
+        stitch err_id from t=50 with code from t=80 (the round-2 review
+        finding); the struct carry must return (e2, NULL)."""
+        probe = spark.createDataFrame(
+            [("p1", "u1", 100)], ["event_id", "user_id", "t"]
+        )
+        build = spark.createDataFrame(
+            [("u1", 50, "e1", 500), ("u1", 80, "e2", None)],
+            "user_id string, t long, err_id string, code long",
+        )
+        got = asof_join(
+            probe, build, "user_id", "t", ["err_id", "code"]
+        ).collect()
+        assert len(got) == 1
+        assert got[0]["err_id"] == "e2"
+        assert got[0]["code"] is None
+
+    def test_no_preceding_build_row_yields_all_nulls(self, spark):
+        probe = spark.createDataFrame(
+            [("p1", "u1", 10)], ["event_id", "user_id", "t"]
+        )
+        build = spark.createDataFrame(
+            [("u1", 80, "e2", None)],
+            "user_id string, t long, err_id string, code long",
+        )
+        got = asof_join(
+            probe, build, "user_id", "t", ["err_id", "code"]
+        ).collect()
+        assert got[0]["err_id"] is None and got[0]["code"] is None
