@@ -77,11 +77,23 @@ def ner_string_f1(pred_mentions: DataFrame, gold: DataFrame) -> dict:
     pred = (
         pred_mentions.select(F.lower(F.regexp_replace("mention", "_", " ")).alias("s"))
         .distinct()
+        .withColumn("_p", F.lit(1))
     )
-    g = gold.select(F.lower("surface").alias("s")).distinct()
-    tp = pred.join(g, "s").count()
-    fp = pred.join(g, "s", "left_anti").count()
-    fn = g.join(pred, "s", "left_anti").count()
+    g = gold.select(F.lower("surface").alias("s")).distinct().withColumn(
+        "_g", F.lit(1)
+    )
+    # one full-outer join + one aggregate: tp/fp/fn in a single Spark job
+    # (was three separate join+count jobs — round-2 review finding)
+    agg = (
+        pred.join(g, "s", "full_outer")
+        .agg(
+            F.sum((F.col("_p").isNotNull() & F.col("_g").isNotNull()).cast("long")).alias("tp"),
+            F.sum((F.col("_p").isNotNull() & F.col("_g").isNull()).cast("long")).alias("fp"),
+            F.sum((F.col("_p").isNull() & F.col("_g").isNotNull()).cast("long")).alias("fn"),
+        )
+        .first()
+    )
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
     p = tp / (tp + fp) if tp + fp else 1.0
     r = tp / (tp + fn) if tp + fn else 1.0
     return {

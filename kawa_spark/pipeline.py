@@ -34,6 +34,18 @@ from .operators.scoring import match_edges, score_pairs
 
 STAGES = ["mentions", "surfaces", "block_keys", "pairs", "edges", "clusters"]
 
+# The characters Hive/Spark escape in partition directory names
+# (Hive FileUtils.escapePathName, mirrored by Spark's
+# ExternalCatalogUtils; verified empirically against Spark 4 output —
+# note space and '}' are NOT escaped).
+_HIVE_ESCAPE = set('"#%\'*/:=?\\^[]{\x7f') | {chr(i) for i in range(0x20)}
+
+
+def _hive_escape(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in value
+    )
+
 
 @dataclass
 class StageResult:
@@ -117,13 +129,15 @@ class ERPipeline:
         if pcols:
             # logical (Iceberg-style) partition lineage: key by value
             per_part = out.groupBy(*pcols).count().collect()
-            # NULL partition values land in the Hive default partition dir;
+            # NULL partition values land in the Hive default partition dir,
+            # and special characters are Hive-escaped in directory names;
             # key the manifest the same way so manifest keys always match
-            # the physical layout (f"{c}=None" would never match on disk)
+            # the physical layout (f"{c}=None" or a raw 'a/b' value would
+            # never match on disk)
             hive_null = "__HIVE_DEFAULT_PARTITION__"
             partitions = {
                 "/".join(
-                    f"{c}={r[c] if r[c] is not None else hive_null}"
+                    f"{c}={_hive_escape(str(r[c])) if r[c] is not None else hive_null}"
                     for c in pcols
                 ): r["count"]
                 for r in per_part

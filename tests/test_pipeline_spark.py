@@ -335,6 +335,38 @@ class TestPartitionedLineage:
         assert langs_on_disk == set(m["partitions"])
         assert "lang=None" not in m["partitions"]
 
+    def test_special_char_partition_values_match_hive_layout(
+        self, spark, corpus, docs_df, tmp_path
+    ):
+        """Spark Hive-escapes special characters in partition directory
+        names ('a/b' -> 'a%2Fb'); the manifest must key those partitions
+        exactly as they appear on disk."""
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        docs_weird = docs_df.withColumn(
+            "lang",
+            F.when(F.col("url").endswith("0"), F.lit("x:y/z=1")).otherwise(
+                F.col("lang")
+            ),
+        )
+        out = str(tmp_path / "er_weird_part")
+        pipe = ERPipeline(
+            spark, corpus.word2ner, corpus.embeddings,
+            out_dir=out, partition_cols=["lang"],
+        )
+        pipe.run(docs_weird)
+        with open(os.path.join(out, "mentions", "_MANIFEST.json")) as f:
+            m = json.load(f)
+        langs_on_disk = {
+            d for d in os.listdir(os.path.join(out, "mentions"))
+            if d.startswith("lang=")
+        }
+        assert "lang=x%3Ay%2Fz%3D1" in langs_on_disk
+        assert langs_on_disk == set(m["partitions"])
+
 
 class TestSavedLexiconConfigGuard:
     def test_connector_mismatch_raises(self, spark, corpus, docs_df, tmp_path):
