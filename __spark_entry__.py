@@ -444,15 +444,9 @@ def _q_regex_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_synonym_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J2 — cross-lingual synonym pivot (create_eng2multilang_dict,
-    # ontology_builder.py:283-353) exercised on a deterministic
-    # synonym-edge table derived from nation: exactly-one-English pairs
-    # orient en -> other; the en word joins its own group.
-    from kawa_spark.lexicon_etl import synonym_pivot_tables
-
-    _views(spark, sf_dir)
-    edges = spark.sql("""
+# deterministic synonym-edge table derived from nation (shared by the
+# synonym_pivot / gender_swap_map / pronoun_gender_map queries)
+_NATION_EDGES_SQL = """
         SELECT 'Synonym' AS rel,
                CASE WHEN n_nationkey % 4 = 0
                     THEN concat('l', n_regionkey) ELSE 'en' END AS lang_a,
@@ -461,9 +455,55 @@ def _q_synonym_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'en' ELSE concat('m', n_regionkey) END AS lang_b,
                reverse(lower(n_name)) AS word_b
         FROM nation
-    """)
+"""
+
+
+def _q_synonym_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2 — cross-lingual synonym pivot (create_eng2multilang_dict,
+    # ontology_builder.py:283-353) exercised on a deterministic
+    # synonym-edge table derived from nation: exactly-one-English pairs
+    # orient en -> other; the en word joins its own group.
+    from kawa_spark.lexicon_etl import synonym_pivot_tables
+
+    _views(spark, sf_dir)
+    edges = spark.sql(_NATION_EDGES_SQL)
     en_pivot, _, _ = synonym_pivot_tables(edges)
     return en_pivot.select("en_word", "word")
+
+
+def _q_gender_swap_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # create_multilingual_map scalar branch (ontology_builder.py:1141-70)
+    # — per-language binary gender-swap map built from the synonym pivot
+    # tables; deterministic min-choice replaces the reference's
+    # random.choice (README divergence note).
+    from kawa_spark.lexicon_etl import multilingual_swap_map, synonym_pivot_tables
+
+    _views(spark, sf_dir)
+    edges = spark.sql(_NATION_EDGES_SQL)
+    en_pivot, word2en, word2lang = synonym_pivot_tables(edges)
+    pairs = spark.sql("""
+        SELECT lower(n_name) AS word,
+               reverse(lower(n_name)) AS swap
+        FROM nation WHERE n_nationkey % 2 = 0
+    """)
+    return multilingual_swap_map(pairs, en_pivot, word2en, word2lang, cut_off_abs=4)
+
+
+def _q_pronoun_gender_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # create_multilingual_map list branch (ontology_builder.py:1122-39)
+    # — per-language example words per item (the en_pronoun2gender /
+    # person2religion shape), 'en' rows = the normalized input list.
+    from kawa_spark.lexicon_etl import multilingual_map, synonym_pivot_tables
+
+    _views(spark, sf_dir)
+    edges = spark.sql(_NATION_EDGES_SQL)
+    en_pivot, word2en, word2lang = synonym_pivot_tables(edges)
+    ex = spark.sql("""
+        SELECT concat('grp', CAST(n_regionkey AS STRING)) AS item,
+               lower(n_name) AS en_word
+        FROM nation
+    """)
+    return multilingual_map(ex, en_pivot, word2en, word2lang, cut_off_abs=4)
 
 
 _SYNONYM_PIVOT_ORACLE = """
@@ -489,6 +529,140 @@ _SYNONYM_PIVOT_ORACLE = """
         SELECT en_word, word FROM oriented
         UNION ALL
         SELECT en_word, en_word AS word FROM oriented
+    ) u
+"""
+
+
+# shared CTE prefix: the synonym-pivot tables (en_pivot / word2en /
+# word2lang / en-degree) over the nation edge synth, DuckDB dialect —
+# mirrors kawa_spark.lexicon_etl.synonym_pivot_tables exactly
+_PIVOT_TABLES_CTE = """
+    e AS (
+        SELECT CASE WHEN n_nationkey % 4 = 0
+                    THEN concat('l', n_regionkey) ELSE 'en' END AS lang_a,
+               trim(translate(lower(n_name), ' -', '__'), '.') AS word_a,
+               CASE WHEN n_nationkey % 3 = 0
+                    THEN 'en' ELSE concat('m', n_regionkey) END AS lang_b,
+               trim(translate(reverse(lower(n_name)), ' -', '__'), '.') AS word_b
+        FROM nation
+    ),
+    w2l AS (
+        SELECT DISTINCT word, lang FROM (
+            SELECT word_a AS word, lang_a AS lang FROM e
+            UNION ALL
+            SELECT word_b AS word, lang_b AS lang FROM e
+        ) u
+    ),
+    one_en AS (
+        SELECT * FROM e
+        WHERE word_a <> word_b AND ((lang_a = 'en') <> (lang_b = 'en'))
+    ),
+    oriented AS (
+        SELECT CASE WHEN lang_a = 'en' THEN word_a ELSE word_b END AS en_word,
+               CASE WHEN lang_a = 'en' THEN word_b ELSE word_a END AS word
+        FROM one_en
+    ),
+    en_pivot AS (
+        SELECT DISTINCT en_word, word FROM (
+            SELECT en_word, word FROM oriented
+            UNION ALL
+            SELECT en_word, en_word AS word FROM oriented
+        ) u
+    ),
+    word2en AS (SELECT DISTINCT word, en_word FROM en_pivot),
+    deg AS (SELECT word, COUNT(*) AS deg FROM word2en GROUP BY word)
+"""
+
+_GENDER_SWAP_MAP_ORACLE = f"""
+    WITH {_PIVOT_TABLES_CTE},
+    pid AS (
+        SELECT DISTINCT k1 || ' ' || k2 AS pair_id, k1, k2 FROM (
+            SELECT trim(translate(lower(n_name), ' -', '__'), '.') AS k1,
+                   trim(translate(reverse(lower(n_name)), ' -', '__'), '.') AS k2
+            FROM nation WHERE n_nationkey % 2 = 0
+        ) p
+    ),
+    c1 AS (
+        SELECT DISTINCT pair_id, key2, cand FROM (
+            SELECT p.pair_id, p.k1 AS key2, ep.word AS cand
+            FROM pid p JOIN en_pivot ep ON ep.en_word = p.k1
+            UNION ALL
+            SELECT pair_id, k1 AS key2, k1 AS cand FROM pid
+        ) u
+    ),
+    kept1 AS (
+        SELECT c.pair_id, c.key2, c.cand FROM c1 c
+        LEFT JOIN deg d ON d.word = c.cand
+        WHERE c.cand = c.key2 OR d.deg IS NULL OR d.deg <= 4
+    ),
+    lhs AS (
+        SELECT DISTINCT k.pair_id, w2l.lang, k.cand AS w1
+        FROM kept1 k JOIN w2l ON w2l.word = k.cand
+        WHERE w2l.lang <> 'en'
+    ),
+    c2 AS (
+        SELECT DISTINCT pair_id, key2, cand FROM (
+            SELECT p.pair_id, p.k2 AS key2, ep.word AS cand
+            FROM pid p JOIN en_pivot ep ON ep.en_word = p.k2
+            UNION ALL
+            SELECT pair_id, k2 AS key2, k2 AS cand FROM pid
+        ) u
+    ),
+    kept2 AS (
+        SELECT c.pair_id, c.key2, c.cand FROM c2 c
+        LEFT JOIN deg d ON d.word = c.cand
+        WHERE c.cand = c.key2 OR d.deg IS NULL OR d.deg <= 4
+    ),
+    rhs AS (
+        SELECT DISTINCT k.pair_id, w2l.lang, k.cand AS w2
+        FROM kept2 k JOIN w2l ON w2l.word = k.cand
+        WHERE w2l.lang <> 'en'
+    ),
+    derived AS (
+        SELECT l.lang, l.w1 AS word, MIN(r.w2) AS swap
+        FROM lhs l JOIN rhs r ON r.pair_id = l.pair_id AND r.lang = l.lang
+        WHERE l.w1 <> r.w2
+        GROUP BY l.lang, l.w1
+    ),
+    en_rows AS (
+        SELECT 'en' AS lang, k1 AS word, MIN(k2) AS swap
+        FROM pid WHERE k1 <> k2 GROUP BY k1
+    )
+    SELECT DISTINCT lang, word, swap FROM (
+        SELECT lang, word, swap FROM derived
+        UNION ALL
+        SELECT lang, word, swap FROM en_rows
+    ) u
+"""
+
+_PRONOUN_GENDER_MAP_ORACLE = f"""
+    WITH {_PIVOT_TABLES_CTE},
+    ex AS (
+        SELECT DISTINCT concat('grp', CAST(n_regionkey AS VARCHAR)) AS item,
+               trim(translate(lower(n_name), ' -', '__'), '.') AS key2
+        FROM nation
+    ),
+    cands AS (
+        SELECT DISTINCT item, key2, cand FROM (
+            SELECT ex.item, ex.key2, p.word AS cand
+            FROM ex JOIN en_pivot p ON p.en_word = ex.key2
+            UNION ALL
+            SELECT item, key2, key2 AS cand FROM ex
+        ) u
+    ),
+    kept AS (
+        SELECT c.item, c.key2, c.cand FROM cands c
+        LEFT JOIN deg d ON d.word = c.cand
+        WHERE c.cand = c.key2 OR d.deg IS NULL OR d.deg <= 4
+    ),
+    derived AS (
+        SELECT DISTINCT w2l.lang, k.item, k.cand AS word
+        FROM kept k JOIN w2l ON w2l.word = k.cand
+    )
+    SELECT DISTINCT lang, item, word FROM (
+        SELECT lang, item, word FROM derived WHERE lang <> 'en'
+        UNION ALL
+        SELECT 'en' AS lang, item, key2 AS word FROM ex
     ) u
 """
 
@@ -1583,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "binary_meta": _q_binary_meta,
             "soundex_blocks": _q_soundex_blocks,
             "synonym_pivot": _q_synonym_pivot,
+            "gender_swap_map": _q_gender_swap_map,
+            "pronoun_gender_map": _q_pronoun_gender_map,
             "hypernym_closure": _q_hypernym_closure,
             "embed_weighted_merge": _q_embed_weighted_merge,
             "wikiann_merge": _q_wikiann_merge,
@@ -1672,6 +1848,8 @@ def oracle_sql() -> dict[str, str]:
             """,
             "regex_ner_counts": _regex_oracle(),
             "synonym_pivot": _SYNONYM_PIVOT_ORACLE,
+            "gender_swap_map": _GENDER_SWAP_MAP_ORACLE,
+            "pronoun_gender_map": _PRONOUN_GENDER_MAP_ORACLE,
             "hypernym_closure": _HYPERNYM_CLOSURE_ORACLE,
             "embed_weighted_merge": _EMBED_MERGE_ORACLE,
             "wikiann_merge": _WIKIANN_MERGE_ORACLE,

@@ -601,3 +601,190 @@ def build_word2ner(words: DataFrame) -> list[list]:
         .collect()
     )
     return [[r["word"], r["category"], 0.0, i] for i, r in enumerate(rows)]
+
+
+def _expand_en_candidates(
+    ex: DataFrame,
+    en_pivot: DataFrame,
+    word2en: DataFrame,
+    word2lang: DataFrame,
+    cut_off_abs: int,
+) -> DataFrame:
+    """Shared expansion step of the reference's create_multilingual_map
+    (ontology_builder.py:1095-1170): for each input English word, the
+    per-language member words of its en-pivot group.
+
+    ex: (item, key2) with key2 already normalized. Returns
+    (item, key2, lang, word) where word is a kept candidate with a
+    word2lang membership — the 'en' fallback/override is applied by the
+    callers (the reference handles 'en' specially in every branch).
+
+    Candidate rule (mirroring the reference, including its precedence
+    quirk): word in en_pivot[key2] + [key2], kept when word == key2,
+    when word has no word2en entry (the reference's `(w in word2en and
+    len(word2en[w])) <= cut_off` evaluates False <= cut_off = True for
+    missing words), or when its en-pivot degree <= cut_off_abs."""
+    pivot_cand = (
+        ex.join(en_pivot, ex["key2"] == en_pivot["en_word"])
+        .select("item", "key2", en_pivot["word"].alias("cand"))
+    )
+    self_cand = ex.select("item", "key2", F.col("key2").alias("cand"))
+    cands = pivot_cand.unionByName(self_cand).distinct()
+
+    en_degree = word2en.groupBy("word").agg(F.count("*").alias("deg"))
+    kept = (
+        cands.join(en_degree, cands["cand"] == en_degree["word"], "left")
+        .filter(
+            (F.col("cand") == F.col("key2"))
+            | F.col("deg").isNull()
+            | (F.col("deg") <= cut_off_abs)
+        )
+        .select("item", "key2", "cand")
+    )
+    return (
+        kept.join(word2lang, kept["cand"] == word2lang["word"])
+        .select("item", "key2", "lang", word2lang["word"].alias("word"))
+        .distinct()
+    )
+
+
+def multilingual_map(
+    en_examples: DataFrame,
+    en_pivot: DataFrame,
+    word2en: DataFrame,
+    word2lang: DataFrame,
+    cut_off_abs: int = 4,
+) -> DataFrame:
+    """The list branch of the reference's create_multilingual_map
+    (ontology_builder.py:1122-1139) as one distributed job: English
+    example words per item -> per-language example words per item.
+
+    en_examples: (item, en_word) — the exploded form of the reference's
+    {item: [english words]} dict (en_pronoun2gender, person2religion).
+    Returns (lang, item, word) distinct, where the 'en' rows are exactly
+    the normalized input list (the reference's lang2words['en'] = words
+    override; divergence: the reference keeps the RAW input strings for
+    'en' — here they are normalized like every other row, documented in
+    README).
+
+    Consumers (ontology_builder.py:919-951) persist the grouped result
+    per language via langdata.save_lang_data."""
+    ex = en_examples.select(
+        "item", normalize_word(F.col("en_word")).alias("key2")
+    ).distinct()
+    derived = _expand_en_candidates(ex, en_pivot, word2en, word2lang, cut_off_abs)
+    non_en = derived.filter(F.col("lang") != "en").select("lang", "item", "word")
+    en_rows = ex.select(F.lit("en").alias("lang"), "item", F.col("key2").alias("word"))
+    return non_en.unionByName(en_rows).distinct()
+
+
+def multilingual_swap_map(
+    en_pairs: DataFrame,
+    en_pivot: DataFrame,
+    word2en: DataFrame,
+    word2lang: DataFrame,
+    cut_off_abs: int = 4,
+) -> DataFrame:
+    """The scalar (word -> word) branch of create_multilingual_map
+    (ontology_builder.py:1141-1170) — binary_gender_swap — as one
+    distributed job: per language, every member word of the LHS group
+    maps to a member word of the RHS group.
+
+    en_pairs: (word, swap) English pairs. Returns (lang, word, swap)
+    where swap = the lexicographically smallest RHS-group member != word
+    in that language (DETERMINISTIC divergence: the reference picks
+    random.choice with one retry — any member is an equally valid swap
+    target, so the port pins the minimum; when several input pairs give
+    the same (lang, word) the minimum across them wins, where the
+    reference would keep the last-processed pair). The reference's 'en'
+    override (lang2words['en'] = [key]) is mirrored: 'en' rows are
+    exactly the normalized input pairs."""
+    pairs = en_pairs.select(
+        normalize_word(F.col("word")).alias("k1"),
+        normalize_word(F.col("swap")).alias("k2"),
+    ).distinct().withColumn(
+        "pair_id", F.concat_ws(" ", "k1", "k2")
+    )
+    lhs = _expand_en_candidates(
+        pairs.select(F.col("pair_id").alias("item"), F.col("k1").alias("key2")),
+        en_pivot, word2en, word2lang, cut_off_abs,
+    ).filter(F.col("lang") != "en").select(
+        F.col("item").alias("pair_id"), "lang", F.col("word").alias("w1")
+    )
+    rhs = _expand_en_candidates(
+        pairs.select(F.col("pair_id").alias("item"), F.col("k2").alias("key2")),
+        en_pivot, word2en, word2lang, cut_off_abs,
+    ).filter(F.col("lang") != "en").select(
+        F.col("item").alias("pair_id"), "lang", F.col("word").alias("w2")
+    )
+    derived = (
+        lhs.join(rhs, ["pair_id", "lang"])
+        .filter(F.col("w1") != F.col("w2"))
+        .groupBy("lang", F.col("w1").alias("word"))
+        .agg(F.min("w2").alias("swap"))
+    )
+    en_rows = pairs.filter(F.col("k1") != F.col("k2")).select(
+        F.lit("en").alias("lang"),
+        F.col("k1").alias("word"),
+        F.col("k2").alias("swap"),
+    ).groupBy("lang", "word").agg(F.min("swap").alias("swap"))
+    return derived.unionByName(en_rows).distinct()
+
+
+def collect_lang_maps(mapped: DataFrame, scalar: bool = False) -> dict:
+    """(lang, item, word) -> {lang: {item: sorted [words]}} (or, with
+    scalar=True over (lang, word, swap) rows, {lang: {word: swap}}).
+    Driver-side materialization of the SMALL per-language artifacts the
+    matcher broadcasts (langdata.save_lang_data consumers) — the one
+    sanctioned collect, same argument as build_word2ner."""
+    out: dict = {}
+    if scalar:
+        for r in mapped.collect():
+            out.setdefault(r["lang"], {})[r["word"]] = r["swap"]
+        return out
+    for r in mapped.collect():
+        out.setdefault(r["lang"], {}).setdefault(r["item"], []).append(r["word"])
+    for lang in out:
+        for item in out[lang]:
+            out[lang][item] = sorted(set(out[lang][item]))
+    return out
+
+
+def build_multilingual_lang_data(
+    spark,
+    edges: DataFrame,
+    gender_pairs: DataFrame,
+    pronoun2gender: DataFrame,
+    person2religion: DataFrame,
+    data_dir: str,
+    cut_off_abs: int = 4,
+) -> list[str]:
+    """The builder stage the reference runs at ontology_builder.py:946-951:
+    from parsed ConceptNet edges, build the three per-language artifacts
+    (binary_gender_swap, en_pronoun2gender, person2religion) and write
+    one {lang}.json per language via langdata.save_lang_data. Returns
+    the written paths."""
+    from .lexicon.langdata import load_lang_data, save_lang_data
+
+    en_pivot, word2en, word2lang = synonym_pivot_tables(edges)
+    swap = collect_lang_maps(
+        multilingual_swap_map(gender_pairs, en_pivot, word2en, word2lang, cut_off_abs),
+        scalar=True,
+    )
+    p2g = collect_lang_maps(
+        multilingual_map(pronoun2gender, en_pivot, word2en, word2lang, cut_off_abs)
+    )
+    p2r = collect_lang_maps(
+        multilingual_map(person2religion, en_pivot, word2en, word2lang, cut_off_abs)
+    )
+    paths = []
+    for lang in sorted(set(swap) | set(p2g) | set(p2r)):
+        data = load_lang_data(data_dir, lang)
+        if lang in swap:
+            data["binary_gender_swap"] = swap[lang]
+        if lang in p2g:
+            data["en_pronoun2gender"] = p2g[lang]
+        if lang in p2r:
+            data["person2religion"] = p2r[lang]
+        paths.append(save_lang_data(data_dir, lang, data))
+    return paths

@@ -50,3 +50,52 @@ class TestTsvSink:
         assert [(r.entity, r.n) for r in back.orderBy("entity").collect()] == [
             ("a", 1), ("b", 2), ("c", 3)
         ]
+
+
+class TestBuiltMultilingualMaps:
+    def test_build_write_load_apply_roundtrip(self, spark, tmp_path):
+        """create_multilingual_map port: artifacts BUILT by the Spark job
+        (not handwritten) round-trip through save/load_lang_data, and the
+        deterministic semantics hold: derived langs carry pivot-group
+        members, 'en' carries exactly the normalized input."""
+        from kawa_spark.lexicon_etl import build_multilingual_lang_data
+
+        # synonym graph: en 'man' <-> de 'mann', en 'woman' <-> de 'frau',
+        # en 'priest' <-> fr 'pretre'; plus an en<->en row (ignored by the
+        # pivot) and a high-degree word to exercise the degree cut.
+        edges = spark.createDataFrame(
+            [
+                ("Synonym", "en", "man", "de", "mann"),
+                ("Synonym", "en", "woman", "de", "frau"),
+                ("Synonym", "en", "priest", "fr", "pretre"),
+                ("Synonym", "en", "man", "en", "man"),
+            ],
+            "rel string, lang_a string, word_a string, lang_b string, word_b string",
+        )
+        gender_pairs = spark.createDataFrame(
+            [("man", "woman")], "word string, swap string"
+        )
+        p2g = spark.createDataFrame(
+            [("male", "man")], "item string, en_word string"
+        )
+        p2r = spark.createDataFrame(
+            [("priest", "priest")], "item string, en_word string"
+        )
+        out = str(tmp_path / "langdata")
+        paths = build_multilingual_lang_data(
+            spark, edges, gender_pairs, p2g, p2r, out
+        )
+        assert paths
+        from kawa_spark.lexicon.langdata import load_lang_data
+
+        de = load_lang_data(out, "de")
+        # de members of man-group swap to de members of woman-group
+        assert de["binary_gender_swap"] == {"mann": "frau"}
+        assert de["en_pronoun2gender"] == {"male": ["mann"]}
+        en = load_lang_data(out, "en")
+        # 'en' rows are exactly the normalized input
+        assert en["binary_gender_swap"] == {"man": "woman"}
+        assert en["en_pronoun2gender"] == {"male": ["man"]}
+        assert en["person2religion"] == {"priest": ["priest"]}
+        fr = load_lang_data(out, "fr")
+        assert fr["person2religion"] == {"priest": ["pretre"]}
