@@ -471,6 +471,54 @@ def _q_synonym_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return en_pivot.select("en_word", "word")
 
 
+# deterministic faker-provider stand-in (locale, key, word) derived from
+# customer×nation — the information the reference's driver provider-walk
+# extracts (ontology_builder.py:954-1020), shared by the name_lists query
+# and its oracle
+_PROVIDERS_SQL = """
+        SELECT concat(lower(substring(n_name, 1, 2)), '_X') AS locale,
+               CASE CAST(c_custkey % 3 AS INT)
+                    WHEN 0 THEN 'FIRST_NAME_MALE'
+                    WHEN 1 THEN 'FIRST_NAME_FEMALE'
+                    ELSE 'LAST_NAME' END AS key,
+               c_name AS word
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey % 7 = 0
+"""
+
+_NAME_WORD2NER_SQL = """
+        SELECT trim(BOTH '.' FROM translate(lower(n_name), ' -', '__')) AS word,
+               CASE WHEN n_nationkey % 5 = 0
+                    THEN 'OTHER_PRONOUN' ELSE 'PERSON' END AS label
+        FROM nation
+"""
+
+_NAME_ONTOLOGY_SQL = """
+        SELECT trim(BOTH '.' FROM translate(lower(n_name), ' -', '__')) AS word,
+               CASE WHEN n_nationkey % 2 = 0
+                    THEN 'PERSON' ELSE 'LOC' END AS label
+        FROM nation
+"""
+
+
+def _q_name_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S6 builder side — per-language name-list export
+    # (ontology_builder.py:954-1050): provider-table rows fold by locale
+    # language prefix; word2ner extras join word2lang, OTHER_PRONOUN
+    # always included, other labels only where the ontology disagrees.
+    from kawa_spark.lexicon_etl import name_list_tables, synonym_pivot_tables
+
+    _views(spark, sf_dir)
+    edges = spark.sql(_NATION_EDGES_SQL)
+    _, _, word2lang = synonym_pivot_tables(edges)
+    return name_list_tables(
+        providers=spark.sql(_PROVIDERS_SQL),
+        word2ner=spark.sql(_NAME_WORD2NER_SQL),
+        word2lang=word2lang,
+        ontology=spark.sql(_NAME_ONTOLOGY_SQL),
+    )
+
+
 def _q_gender_swap_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # create_multilingual_map scalar branch (ontology_builder.py:1141-70)
     # — per-language binary gender-swap map built from the synonym pivot
@@ -572,6 +620,47 @@ _PIVOT_TABLES_CTE = """
     word2en AS (SELECT DISTINCT word, en_word FROM en_pivot),
     deg AS (SELECT word, COUNT(*) AS deg FROM word2en GROUP BY word)
 """
+
+_NAME_LISTS_ORACLE = f"""
+    WITH {_PIVOT_TABLES_CTE},
+    prov AS ({_PROVIDERS_SQL}),
+    w2n AS ({_NAME_WORD2NER_SQL}),
+    onto AS (SELECT DISTINCT word, label AS onto_label FROM ({_NAME_ONTOLOGY_SQL}) o),
+    joined AS (
+        SELECT w2l.lang, w2n.label, w2n.word
+        FROM w2n JOIN w2l ON w2l.word = w2n.word
+    ),
+    pron AS (
+        SELECT lang, label AS key, word FROM joined
+        WHERE label = 'OTHER_PRONOUN'
+    ),
+    extras AS (
+        SELECT j.lang, j.label AS key, j.word
+        FROM joined j LEFT JOIN onto ON onto.word = j.word
+        WHERE j.label <> 'OTHER_PRONOUN'
+          AND (onto.onto_label IS NULL OR onto.onto_label <> j.label)
+    ),
+    allrows AS (
+        SELECT split_part(locale, '_', 1) AS lang, key, word FROM prov
+        UNION ALL
+        SELECT lang, key, word FROM pron
+        UNION ALL
+        SELECT lang, key, word FROM extras
+    ),
+    normed AS (
+        SELECT lang, key,
+               CASE WHEN key IN ('FIRST_NAME_MALE','FIRST_NAME_FEMALE',
+                                 'FIRST_NAME','LAST_NAME_MALE',
+                                 'LAST_NAME_FEMALE','LAST_NAME',
+                                 'PREFIX_MALE','PREFIX_FEMALE',
+                                 'SUFIX_MALE','SUFIX_FEMALE')
+                    THEN trim(translate(lower(word), ' -', '__'), '.')
+                    ELSE word END AS word
+        FROM allrows
+    )
+    SELECT DISTINCT lang, key, word FROM normed WHERE word <> ''
+"""
+
 
 _GENDER_SWAP_MAP_ORACLE = f"""
     WITH {_PIVOT_TABLES_CTE},
@@ -1759,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "synonym_pivot": _q_synonym_pivot,
             "gender_swap_map": _q_gender_swap_map,
             "pronoun_gender_map": _q_pronoun_gender_map,
+            "name_lists": _q_name_lists,
             "hypernym_closure": _q_hypernym_closure,
             "embed_weighted_merge": _q_embed_weighted_merge,
             "wikiann_merge": _q_wikiann_merge,
@@ -1850,6 +1940,7 @@ def oracle_sql() -> dict[str, str]:
             "synonym_pivot": _SYNONYM_PIVOT_ORACLE,
             "gender_swap_map": _GENDER_SWAP_MAP_ORACLE,
             "pronoun_gender_map": _PRONOUN_GENDER_MAP_ORACLE,
+            "name_lists": _NAME_LISTS_ORACLE,
             "hypernym_closure": _HYPERNYM_CLOSURE_ORACLE,
             "embed_weighted_merge": _EMBED_MERGE_ORACLE,
             "wikiann_merge": _WIKIANN_MERGE_ORACLE,

@@ -788,3 +788,130 @@ def build_multilingual_lang_data(
             data["person2religion"] = p2r[lang]
         paths.append(save_lang_data(data_dir, lang, data))
     return paths
+
+
+# The per-language name-list keys the reference normalizes at merge time
+# (ontology_builder.py:1052-1059): only these get the word normalizer;
+# extra labels (e.g. OTHER_PRONOUN) are stored verbatim.
+NAME_LIST_KEYS = (
+    "FIRST_NAME_MALE",
+    "FIRST_NAME_FEMALE",
+    "FIRST_NAME",
+    "LAST_NAME_MALE",
+    "LAST_NAME_FEMALE",
+    "LAST_NAME",
+    "PREFIX_MALE",
+    "PREFIX_FEMALE",
+    "SUFIX_MALE",
+    "SUFIX_FEMALE",
+)
+
+
+def name_list_tables(
+    providers: DataFrame,
+    word2ner: DataFrame,
+    word2lang: DataFrame,
+    ontology: DataFrame | None = None,
+) -> DataFrame:
+    """S6 builder side — the per-language name-list export
+    (ontology_builder.py:954-1050) as one distributed job.
+
+    The reference walks faker locale providers on the driver, folding
+    each provider's first/last-name lists into ``lang2person`` keyed by
+    the locale's language prefix, then merges in "extra" words from
+    ``word2ner``: OTHER_PRONOUN rows always join their word's languages;
+    any other label joins only when the ontology disagrees with it
+    (``in_ontology(word) != label``, ontology_builder.py:1028-1041).
+    faker is absent from this environment, so the provider walk becomes
+    a *table*: ``providers`` is (locale, key, word) rows — the exact
+    information the driver loop extracts — and everything downstream is
+    joins + distinct.
+
+    Inputs:
+      * providers (locale, key, word) — e.g. ('en_US', 'FIRST_NAME_MALE', 'John')
+      * word2ner  (word, label)
+      * word2lang (word, lang) — from :func:`synonym_pivot_tables`
+      * ontology  (word, label) — the in_ontology view; None = empty
+
+    Output: (lang, key, word) distinct, with :func:`normalize_word`
+    applied exactly to the reference's name keys (NAME_LIST_KEYS) and
+    not to extra labels.
+
+    Documented divergence from the reference: its 'sw' bantu-surname
+    insert writes into the *previous* loop iteration's dict (the ``ret``
+    rebind at ontology_builder.py:1044 happens after the insert) — a
+    driver-loop aliasing bug we do not reproduce; static surname lists
+    belong to the caller (see build_name_lang_data's static_names).
+
+    Scale shape: providers and word2ner are lexicon-small (broadcast
+    side); word2lang is the big side and is touched once with an
+    equi-join on word — no driver loop, no collect until the artifact
+    write."""
+    prov = providers.select(
+        F.split(F.col("locale"), "_").getItem(0).alias("lang"),
+        F.col("key"),
+        F.col("word"),
+    )
+    joined = word2ner.join(word2lang, "word")
+    pron = joined.filter(F.col("label") == "OTHER_PRONOUN").select(
+        "lang", F.col("label").alias("key"), "word"
+    )
+    other = joined.filter(F.col("label") != "OTHER_PRONOUN")
+    if ontology is not None:
+        onto = ontology.select(
+            "word", F.col("label").alias("onto_label")
+        ).distinct()
+        other = other.join(onto, "word", "left").filter(
+            F.col("onto_label").isNull() | (F.col("onto_label") != F.col("label"))
+        )
+    extras = other.select("lang", F.col("label").alias("key"), "word")
+    allrows = prov.unionByName(pron).unionByName(extras)
+    name_key = F.col("key").isin(*NAME_LIST_KEYS)
+    return (
+        allrows.select(
+            "lang",
+            "key",
+            F.when(name_key, normalize_word(F.col("word")))
+            .otherwise(F.col("word"))
+            .alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+
+
+def build_name_lang_data(
+    providers: DataFrame,
+    word2ner: DataFrame,
+    word2lang: DataFrame,
+    data_dir: str,
+    ontology: DataFrame | None = None,
+    static_names: dict | None = None,
+) -> list[str]:
+    """Materialize :func:`name_list_tables` into the per-language
+    ``{lang}.json`` artifacts (the json.dump loop at
+    ontology_builder.py:1040-1072), merging with any keys already
+    present (e.g. the gender/pronoun/religion maps written by
+    :func:`build_multilingual_lang_data`). ``static_names`` is
+    {lang: {key: [words]}} for static lists like the reference's bantu
+    surnames; they pass through the same name-key normalizer."""
+    from .lexicon.langdata import load_lang_data, save_lang_data
+
+    out: dict = {}
+    for r in name_list_tables(providers, word2ner, word2lang, ontology).collect():
+        out.setdefault(r["lang"], {}).setdefault(r["key"], []).append(r["word"])
+    for lang, keys in (static_names or {}).items():
+        for key, words in keys.items():
+            if key in NAME_LIST_KEYS:
+                words = [
+                    w.replace(" ", "_").replace("-", "_").lower().strip(".")
+                    for w in words
+                ]
+            out.setdefault(lang, {}).setdefault(key, []).extend(words)
+    paths = []
+    for lang in sorted(out):
+        data = load_lang_data(data_dir, lang)
+        for key in sorted(out[lang]):
+            data[key] = sorted(set(data.get(key, []) + out[lang][key]))
+        paths.append(save_lang_data(data_dir, lang, data))
+    return paths

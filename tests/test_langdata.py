@@ -99,3 +99,56 @@ class TestBuiltMultilingualMaps:
         assert en["person2religion"] == {"priest": ["priest"]}
         fr = load_lang_data(out, "fr")
         assert fr["person2religion"] == {"priest": ["pretre"]}
+
+
+class TestBuiltNameLists:
+    def test_build_write_load_roundtrip(self, spark, tmp_path):
+        """Name-list export (ontology_builder.py:954-1050): artifacts BUILT
+        by the Spark job round-trip through save/load_lang_data, name keys
+        are normalized, extras join word2lang with the ontology-disagrees
+        rule, and static lists merge with existing per-lang data."""
+        from kawa_spark.lexicon.langdata import load_lang_data, save_lang_data
+        from kawa_spark.lexicon_etl import build_name_lang_data
+
+        providers = spark.createDataFrame(
+            [
+                ("en_US", "FIRST_NAME_MALE", "John Paul"),
+                ("en_GB", "FIRST_NAME_MALE", "John Paul"),  # dedup across locales
+                ("de_DE", "LAST_NAME", "Mueller-Schmidt."),
+            ],
+            "locale string, key string, word string",
+        )
+        word2ner = spark.createDataFrame(
+            [
+                ("sie", "OTHER_PRONOUN"),   # pronoun: always included
+                ("schmidt", "PERSON"),      # ontology agrees -> excluded
+                ("berlin", "PERSON"),       # ontology says LOC -> included
+                ("kohl", "PERSON"),         # not in ontology -> included
+            ],
+            "word string, label string",
+        )
+        word2lang = spark.createDataFrame(
+            [("sie", "de"), ("schmidt", "de"), ("berlin", "de"), ("kohl", "de")],
+            "word string, lang string",
+        )
+        ontology = spark.createDataFrame(
+            [("schmidt", "PERSON"), ("berlin", "LOC")], "word string, label string"
+        )
+        out = str(tmp_path / "langdata")
+        # pre-existing artifact: the merge must keep its other keys
+        save_lang_data(out, "de", {"binary_gender_swap": {"mann": "frau"}})
+        paths = build_name_lang_data(
+            providers, word2ner, word2lang, str(out),
+            ontology=ontology,
+            static_names={"sw": {"LAST_NAME": ["Simba Lion"]}},
+        )
+        assert paths
+        en = load_lang_data(out, "en")
+        assert en["FIRST_NAME_MALE"] == ["john_paul"]  # normalized, deduped
+        de = load_lang_data(out, "de")
+        assert de["LAST_NAME"] == ["mueller_schmidt"]  # trailing '.' stripped
+        assert de["OTHER_PRONOUN"] == ["sie"]          # verbatim (not a name key)
+        assert de["PERSON"] == ["berlin", "kohl"]      # disagree/absent only
+        assert de["binary_gender_swap"] == {"mann": "frau"}  # merge preserved
+        sw = load_lang_data(out, "sw")
+        assert sw["LAST_NAME"] == ["simba_lion"]       # static list normalized
