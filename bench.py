@@ -30,6 +30,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# The files whose changes invalidate a scaling measurement: the ER
+# pipeline itself plus the measurement harness. Query-list / oracle /
+# docs edits do not touch the measured job.
+_SCALING_SCOPE = ("kawa_spark", "scripts/scaling_bench.py")
+
+
+def _scaling_is_stale(scaling: dict) -> tuple[bool, str | None]:
+    """A scaling number embedded from BENCH_SCALING.json is only evidence
+    for the code it was measured on. Returns (stale, reason): stale when
+    the stamp is missing, was taken on a dirty tree, or pipeline-scope
+    files changed between the stamped commit and the current tree."""
+    import subprocess
+
+    commit = scaling.get("commit")
+    if not commit:
+        return True, "no commit stamp (pre-provenance measurement)"
+    if commit.endswith("-dirty"):
+        return True, f"measured on a dirty tree at {commit}"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", commit, "--", *_SCALING_SCOPE],
+            capture_output=True, text=True, cwd=repo, timeout=30,
+        )
+    except Exception as exc:  # git unavailable: can't attest either way
+        return True, f"provenance check failed: {exc}"
+    if diff.returncode != 0:
+        return True, f"stamped commit {commit[:12]} not in repo"
+    changed = [l for l in diff.stdout.strip().splitlines() if l]
+    if changed:
+        return True, f"pipeline code changed since {commit[:12]}: {changed[:5]}"
+    return False, None
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry
     from kawa_spark.session import get_spark
@@ -95,6 +129,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             scaling = json.load(f)
+        scaling["stale"], scaling["stale_reason"] = _scaling_is_stale(scaling)
     return {
         "metric": "total_query_wall_sec",
         "value": total,

@@ -269,10 +269,23 @@ def main() -> None:
     lo["trials"] = hi["trials"] = args.trials
     eff = hi["docs_per_sec"] / (args.hi / args.lo * lo["docs_per_sec"])
     write_bench_md(lo, hi, eff)
+    # provenance stamp: the commit this number was measured at, so
+    # bench.py can detect (and mark stale) a replayed measurement that
+    # no longer describes the current pipeline code
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
+    ).stdout.strip()
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--", "kawa_spark",
+         "scripts/scaling_bench.py"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout.strip()
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "commit": head + ("-dirty" if dirty else ""),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "lo": {k: lo[k] for k in ("cores", "n_docs", "trials", "seconds",
                                   "docs_per_sec", "stages")},
         "hi": {k: hi[k] for k in ("cores", "n_docs", "trials", "seconds",
