@@ -61,6 +61,20 @@ def _scaling_is_stale(scaling: dict) -> tuple[bool, str | None]:
     changed = [l for l in diff.stdout.strip().splitlines() if l]
     if changed:
         return True, f"pipeline code changed since {commit[:12]}: {changed[:5]}"
+    # git diff ignores untracked files, but a brand-new module under
+    # kawa_spark/ changes the measured pipeline just the same — mirror
+    # the stamping side (which counts untracked as dirty) here too.
+    try:
+        untracked = subprocess.run(
+            ["git", "ls-files", "--others", "--exclude-standard", "--",
+             *_SCALING_SCOPE],
+            capture_output=True, text=True, cwd=repo, timeout=30,
+        )
+    except Exception as exc:
+        return True, f"provenance check failed: {exc}"
+    new_files = [l for l in untracked.stdout.strip().splitlines() if l]
+    if new_files:
+        return True, f"untracked pipeline files since {commit[:12]}: {new_files[:5]}"
     return False, None
 
 

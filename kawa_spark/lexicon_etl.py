@@ -588,18 +588,34 @@ def leaf_descendants(edges: DataFrame, roots: DataFrame, max_depth: int = 8) -> 
     )
 
 
-def build_word2ner(words: DataFrame) -> list[list]:
+def build_word2ner(words: DataFrame, max_rows: int = 20_000_000) -> list[list]:
     """(word, category) DataFrame -> [word, label, weight, idx] records
     (the matcher seed format, ontology_manager.py:395-411). Collects to
     the driver — the lexicon is the SMALL side by design (broadcast to
-    every matcher worker), so this is the one sanctioned collect."""
+    every matcher worker), so this is the one sanctioned collect.
+
+    ``max_rows`` guards the full-scale run: past it the limit+1 probe
+    raises instead of streaming an unbounded lexicon through the driver
+    (at the reference's 8.5M surface forms this path is already hundreds
+    of MB; an unguarded collect OOMs late and silently). The alternative
+    at that scale is the map-side join sanctioned by SURVEY §1.1/§1.5:
+    keep the lexicon AS a DataFrame and equi-join mentions on the
+    normalized surface form instead of broadcasting a python list."""
     rows = (
         words.filter(F.col("category").isNotNull())
         .select("word", "category")
         .distinct()
         .orderBy("word")
+        .limit(max_rows + 1)
         .collect()
     )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"build_word2ner: lexicon exceeds max_rows={max_rows}; "
+            "driver-side collect would risk an OOM. Use the map-side "
+            "join path (join mentions to the word table on the "
+            "normalized form) instead of a broadcast list."
+        )
     return [[r["word"], r["category"], 0.0, i] for i, r in enumerate(rows)]
 
 
@@ -731,18 +747,36 @@ def multilingual_swap_map(
     return derived.unionByName(en_rows).distinct()
 
 
-def collect_lang_maps(mapped: DataFrame, scalar: bool = False) -> dict:
+def collect_lang_maps(
+    mapped: DataFrame, scalar: bool = False, max_rows: int = 5_000_000
+) -> dict:
     """(lang, item, word) -> {lang: {item: sorted [words]}} (or, with
     scalar=True over (lang, word, swap) rows, {lang: {word: swap}}).
     Driver-side materialization of the SMALL per-language artifacts the
     matcher broadcasts (langdata.save_lang_data consumers) — the one
-    sanctioned collect, same argument as build_word2ner."""
+    sanctioned collect, same argument as build_word2ner.
+
+    ``max_rows`` is the loud-failure guard (see build_word2ner): a map
+    past it raises instead of OOMing the driver; at that scale keep the
+    rows AS a DataFrame and join on (lang, word) map-side."""
+
+    def _bounded_rows() -> list:
+        rows = mapped.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"collect_lang_maps: map exceeds max_rows={max_rows}; "
+                "driver-side collect would risk an OOM. Keep the map as "
+                "a DataFrame and equi-join on (lang, word) map-side "
+                "(SURVEY §1.1/§1.5) instead of materializing a dict."
+            )
+        return rows
+
     out: dict = {}
     if scalar:
-        for r in mapped.collect():
+        for r in _bounded_rows():
             out.setdefault(r["lang"], {})[r["word"]] = r["swap"]
         return out
-    for r in mapped.collect():
+    for r in _bounded_rows():
         out.setdefault(r["lang"], {}).setdefault(r["item"], []).append(r["word"])
     for lang in out:
         for item in out[lang]:
@@ -831,7 +865,12 @@ def name_list_tables(
       * providers (locale, key, word) — e.g. ('en_US', 'FIRST_NAME_MALE', 'John')
       * word2ner  (word, label)
       * word2lang (word, lang) — from :func:`synonym_pivot_tables`
-      * ontology  (word, label) — the in_ontology view; None = empty
+      * ontology  (word, label) — the in_ontology view; None = empty.
+        PRECONDITION: functional — at most one label per word, like the
+        reference's in_ontology single answer (ontology_manager.py:550).
+        With several labels per word this left join includes the word
+        when ANY label disagrees, where the reference's behavior would
+        depend on the one label its lookup returns.
 
     Output: (lang, key, word) distinct, with :func:`normalize_word`
     applied exactly to the reference's name keys (NAME_LIST_KEYS) and
@@ -903,9 +942,15 @@ def build_name_lang_data(
     for lang, keys in (static_names or {}).items():
         for key, words in keys.items():
             if key in NAME_LIST_KEYS:
+                # drop words that normalize to empty (e.g. "."), matching
+                # the distributed job's word != '' filter and the oracle
                 words = [
-                    w.replace(" ", "_").replace("-", "_").lower().strip(".")
-                    for w in words
+                    w2
+                    for w2 in (
+                        w.replace(" ", "_").replace("-", "_").lower().strip(".")
+                        for w in words
+                    )
+                    if w2
                 ]
             out.setdefault(lang, {}).setdefault(key, []).extend(words)
     paths = []

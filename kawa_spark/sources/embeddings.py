@@ -32,11 +32,26 @@ TRANNUM_DST = "1111111111"
 # substrings that reject a word outright (kb.py:1191)
 _URLISH = (".co", ".org", ".gov", ".edu", "www", "http:", ".net", ".uk", ".ca")
 
+# trailing multi-sense marker: word#N (ontology_kb.py:195-196 — patterns
+# whose embeddings differ enough are stored as geo*_bu*#1 / geo*_bu*#2;
+# extract_word_embeddings.py:65-73 appends #idx on short-key collisions)
+_SENSE_RE = r"#(\d+)$"
 
-def clean_embed_word(col) -> "F.Column":
+
+def clean_embed_word(col, keep_senses: bool = False) -> "F.Column":
     """cleanup_word (kb.py:1160-1181), natively: # -> 1, -|= -> _,
     collapse __ runs, collapse .... runs, strip _, digit-fold words
-    longer than 4 that start AND end with a digit."""
+    longer than 4 that start AND end with a digit.
+
+    ``keep_senses=True`` preserves a trailing ``#N`` multi-sense marker
+    (the reference's word#1/word#2 entries, ontology_kb.py:195-196)
+    through the cleanup instead of folding it into a digit: the stem is
+    cleaned as usual and the sense suffix re-attached verbatim. Senses
+    are resolved at lookup time by :func:`resolve_senses`."""
+    if keep_senses:
+        stem = clean_embed_word(F.regexp_replace(col, _SENSE_RE, ""))
+        suffix = F.regexp_extract(col, r"(#\d+)$", 1)
+        return F.concat(stem, suffix)
     c = F.translate(col, "#", "1")
     c = F.translate(c, "-|=", "___")
     c = F.regexp_replace(c, "_{2,}", "_")
@@ -79,8 +94,12 @@ def read_word2vec_text(
     min_cnt: int = 4,
     collapse_all_cases: bool = True,
     max_word_size: int = 100,
+    keep_senses: bool = False,
 ) -> DataFrame:
     """word2vec TEXT format -> (word, vec array<float>, cnt int).
+
+    ``keep_senses=True`` preserves trailing ``#N`` sense markers through
+    the cleanup (see :func:`clean_embed_word` / :func:`resolve_senses`).
 
     Line 0 is ``<vocab_size> <vector_size>``; each following line is
     ``word v1 .. vD``. The parse is one native pass; the rank weight
@@ -115,7 +134,9 @@ def read_word2vec_text(
     out = out.filter(
         F.aggregate("vec", F.lit(0.0), lambda a, x: a + F.abs(x)) != 0.0
     )
-    w = clean_embed_word(F.substring(F.col("raw_word"), 1, max_word_size))
+    w = clean_embed_word(
+        F.substring(F.col("raw_word"), 1, max_word_size), keep_senses
+    )
     if collapse_all_cases:
         w = F.lower(w)
     out = out.withColumn("word", w).filter(~reject_embed_word(F.col("word")))
@@ -154,6 +175,7 @@ def read_word2vec_binary(
     min_cnt: int = 4,
     collapse_all_cases: bool = True,
     batch_rows: int = 50_000,
+    keep_senses: bool = False,
 ) -> DataFrame:
     """word2vec BINARY format -> (word, vec, cnt). The byte walk is
     sequential by format design; batches land as Arrow frames and the
@@ -178,7 +200,7 @@ def read_word2vec_binary(
         return spark.createDataFrame([], "word string, vec array<float>, cnt int")
     pdf = pd.concat(frames, ignore_index=True)
     df = spark.createDataFrame(pdf, "raw_word string, vec array<float>, cnt int")
-    w = clean_embed_word(F.col("raw_word"))
+    w = clean_embed_word(F.col("raw_word"), keep_senses)
     if collapse_all_cases:
         w = F.lower(w)
     out = df.withColumn("word", w).filter(~reject_embed_word(F.col("word")))
@@ -223,11 +245,99 @@ def merge_embeddings(
     )
 
 
-def embeddings_dict(df: DataFrame) -> dict[str, np.ndarray]:
+def resolve_senses(
+    df: DataFrame,
+    rule: str = "first",
+    query_vec: "np.ndarray | list[float] | None" = None,
+) -> DataFrame:
+    """Collapse multi-sense rows (``word#N``, kept by the readers'
+    ``keep_senses=True``) to ONE row per base word.
+
+    Rules (documented resolution policy — the reference never resolves;
+    its KB keeps all senses and callers pick by embedding distance,
+    ontology_kb.py:195-196):
+
+    * ``first`` — the lowest sense index wins; the bare word counts as
+      sense 0 (extract_word_embeddings.py inserts the bare key first and
+      only appends #idx on collision, so sense 0/lowest-N is the primary
+      entry). Ties on index break on the full word string ascending.
+    * ``best`` — the sense with the highest cosine similarity to
+      ``query_vec`` wins (ties: lowest sense index). This is the
+      reference's "different enough embeddings" discrimination turned
+      into a lookup: pass the context embedding you are disambiguating
+      against.
+
+    One partial-aggregated shuffle on the base word (``min_by``/
+    ``max_by``) — no window sort, no driver collect. Output schema is
+    unchanged: (word, vec, cnt) with ``word`` = the base form.
+    """
+    base = F.regexp_replace(F.col("word"), _SENSE_RE, "")
+    idx = F.coalesce(
+        F.nullif(F.regexp_extract(F.col("word"), _SENSE_RE, 1), F.lit(""))
+        .cast("int"),
+        F.lit(0),
+    )
+    d = df.withColumn("_base", base).withColumn("_idx", idx)
+    row = F.struct(F.col("vec").alias("vec"), F.col("cnt").alias("cnt"))
+    if rule == "first":
+        picked = d.groupBy("_base").agg(
+            F.min_by(row, F.struct(F.col("_idx"), F.col("word"))).alias("_row")
+        )
+    elif rule == "best":
+        if query_vec is None:
+            raise ValueError("resolve_senses(rule='best') needs query_vec")
+        q = [float(x) for x in np.asarray(query_vec, dtype=np.float32)]
+        qcol = F.array(*[F.lit(x).cast("double") for x in q])
+        dot = F.aggregate(
+            F.zip_with(F.col("vec"), qcol, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        vnorm = F.sqrt(
+            F.aggregate(
+                F.col("vec"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        cos = F.when(vnorm == 0.0, F.lit(-2.0)).otherwise(dot / vnorm)
+        picked = (
+            d.withColumn("_cos", cos)
+            .groupBy("_base")
+            .agg(
+                F.max_by(
+                    row, F.struct(F.col("_cos"), (-F.col("_idx")).alias("_ni"))
+                ).alias("_row")
+            )
+        )
+    else:
+        raise ValueError(f"unknown sense rule: {rule!r}")
+    return picked.select(
+        F.col("_base").alias("word"),
+        F.col("_row.vec").alias("vec"),
+        F.col("_row.cnt").alias("cnt"),
+    )
+
+
+def embeddings_dict(df: DataFrame, max_rows: int = 5_000_000) -> dict[str, np.ndarray]:
     """(word, vec, ...) -> {word: float32 array} for the scoring
     broadcast (scoring.make_cosine_udf). The embedding table is the
-    SMALL side by design — this is the sanctioned collect."""
-    return {
-        r["word"]: np.asarray(r["vec"], dtype=np.float32)
-        for r in df.select("word", "vec").collect()
-    }
+    SMALL side by design — this is the sanctioned collect.
+
+    ``max_rows`` is the loud-failure guard for the full-scale run: a
+    vocabulary past it (e.g. the reference's 8.5M-surface-form lexicon
+    with high-dim vectors) would stream hundreds of MB through the
+    driver and risk an OOM long after launch. The limit+1 probe bounds
+    driver memory to the cap — past it, raise and point the caller at
+    the map-side alternative: JOIN the mention table to the embedding
+    DataFrame on ``word`` (broadcast only if Spark's own threshold
+    allows), which needs no driver materialization at any scale."""
+    rows = df.select("word", "vec").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"embeddings_dict: vocabulary exceeds max_rows={max_rows}; "
+            "a driver-side dict this large risks an OOM. Join mentions "
+            "to the embedding DataFrame on `word` instead of "
+            "broadcasting a dict (map-side join, SURVEY §1.1/§1.5)."
+        )
+    return {r["word"]: np.asarray(r["vec"], dtype=np.float32) for r in rows}

@@ -64,6 +64,12 @@ CHECKS = {
     "ngram_lsh_dedup": [
         ("bucket join is equi (no theta)", lambda p:
          "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        # bounded_self_pairs regression guard: the bucket self-join must
+        # keep the hot/cold split — a LeftAnti (cold side excludes hot
+        # keys) plus a Union of the cold and triangle-partitioned hot
+        # pair streams. A plain uncapped self-join has neither.
+        ("hot/cold split present (LeftAnti)", lambda p: "LeftAnti" in p),
+        ("cold+hot pair union present", lambda p: "Union" in p),
     ],
     "range_join_counts": [
         ("interval join is equi (no theta)", lambda p:
@@ -95,6 +101,24 @@ def main() -> None:
                 print("---- plan ----")
                 print(plan[:4000])
                 print("--------------")
+
+    # embedding_near_dup: CC checkpoints truncate the final plan, so the
+    # bounded-bucket assertion runs on the exposed edges stage (the same
+    # code path the query executes before clustering)
+    edges_plan = plan_of(entry._embedding_near_dup_edges(spark, sf_dir))
+    for desc, pred in [
+        ("bucket join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("hot/cold split present (LeftAnti)", lambda p: "LeftAnti" in p),
+        ("cold+hot pair union present", lambda p: "Union" in p),
+    ]:
+        ok = pred(edges_plan)
+        failures += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'}  embedding_near_dup[edges]: {desc}")
+        if not ok:
+            print("---- plan ----")
+            print(edges_plan[:4000])
+            print("--------------")
 
     # pages reader: text-only plan must not scan the html binary column
     from kawa_spark.sources.pages import read_pages

@@ -100,3 +100,104 @@ class TestWeightedMerge:
         d = embeddings_dict(df)
         assert isinstance(d["w"], np.ndarray)
         assert d["w"].dtype == np.float32
+
+
+class TestSenses:
+    """word#N multi-sense entries (ontology_kb.py:195-196;
+    extract_word_embeddings.py:65-73 #idx disambiguation)."""
+
+    @pytest.fixture()
+    def sense_file(self, tmp_path):
+        vecs = {
+            "obama": [1.0, 0.0, 0.0, 0.0],
+            "obama#2": [0.0, 1.0, 0.0, 0.0],
+            "bush#1": [0.0, 0.0, 1.0, 0.0],
+            "bush#2": [0.0, 0.0, 0.0, 1.0],
+        }
+        p = tmp_path / "senses.txt"
+        lines = [f"{len(vecs)} 4"]
+        for w, v in vecs.items():
+            lines.append(w + " " + " ".join(str(x) for x in v))
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_default_folds_hash_to_digit(self, spark, sense_file):
+        words = {
+            r.word for r in read_word2vec_text(spark, sense_file).collect()
+        }
+        assert words == {"obama", "obama12", "bush11", "bush12"}
+
+    def test_keep_senses_round_trip(self, spark, sense_file):
+        df = read_word2vec_text(spark, sense_file, keep_senses=True)
+        words = {r.word for r in df.collect()}
+        assert words == {"obama", "obama#2", "bush#1", "bush#2"}
+
+    def test_keep_senses_binary_matches_text(self, spark, sense_file, tmp_path):
+        import struct as _struct
+
+        text_rows = {
+            r.word: r.vec
+            for r in read_word2vec_text(
+                spark, sense_file, keep_senses=True
+            ).collect()
+        }
+        p = tmp_path / "senses.bin"
+        with open(p, "wb") as f:
+            lines = open(sense_file).read().strip().splitlines()
+            f.write((lines[0] + "\n").encode())
+            for line in lines[1:]:
+                w, *v = line.split()
+                f.write(w.encode() + b" ")
+                f.write(_struct.pack("<4f", *map(float, v)))
+        bin_rows = {
+            r.word: r.vec
+            for r in read_word2vec_binary(
+                spark, str(p), keep_senses=True
+            ).collect()
+        }
+        assert text_rows == bin_rows
+
+    def test_resolve_first_sense(self, spark, sense_file):
+        from kawa_spark.sources.embeddings import resolve_senses
+
+        df = read_word2vec_text(spark, sense_file, keep_senses=True)
+        out = {r.word: r.vec for r in resolve_senses(df, rule="first").collect()}
+        # bare word = sense 0 wins over #2; no bare bush -> #1 wins
+        assert set(out) == {"obama", "bush"}
+        assert out["obama"] == [1.0, 0.0, 0.0, 0.0]
+        assert out["bush"] == [0.0, 0.0, 1.0, 0.0]
+
+    def test_resolve_best_cosine(self, spark, sense_file):
+        from kawa_spark.sources.embeddings import resolve_senses
+
+        df = read_word2vec_text(spark, sense_file, keep_senses=True)
+        out = {
+            r.word: r.vec
+            for r in resolve_senses(
+                df, rule="best", query_vec=[0.0, 0.0, 0.0, 1.0]
+            ).collect()
+        }
+        # bush#2 is the unit vector along the query axis
+        assert out["bush"] == [0.0, 0.0, 0.0, 1.0]
+
+    def test_resolve_best_requires_query(self, spark, sense_file):
+        from kawa_spark.sources.embeddings import resolve_senses
+
+        df = read_word2vec_text(spark, sense_file, keep_senses=True)
+        with pytest.raises(ValueError, match="query_vec"):
+            resolve_senses(df, rule="best")
+
+
+class TestDriverGuards:
+    def test_embeddings_dict_guard_raises(self, spark):
+        df = spark.createDataFrame(
+            [(f"w{i}", [1.0]) for i in range(11)], "word string, vec array<float>"
+        )
+        with pytest.raises(ValueError, match="map-side join"):
+            embeddings_dict(df, max_rows=10)
+
+    def test_embeddings_dict_under_cap_ok(self, spark):
+        df = spark.createDataFrame(
+            [(f"w{i}", [1.0]) for i in range(10)], "word string, vec array<float>"
+        )
+        assert len(embeddings_dict(df, max_rows=10)) == 10

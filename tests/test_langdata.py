@@ -1,5 +1,7 @@
 """S6 per-language data files + S4 TSV sink."""
 
+import pytest
+
 from kawa_spark.lexicon.langdata import (
     apply_lang_data,
     broadcast_lang_data,
@@ -152,3 +154,56 @@ class TestBuiltNameLists:
         assert de["binary_gender_swap"] == {"mann": "frau"}  # merge preserved
         sw = load_lang_data(out, "sw")
         assert sw["LAST_NAME"] == ["simba_lion"]       # static list normalized
+
+    def test_static_names_drop_empty_after_normalize(self, spark, tmp_path):
+        """A static name that normalizes to '' (e.g. '.') must be dropped,
+        matching the distributed job's word != '' filter (the r03 ADVICE
+        finding on the static_names path)."""
+        from kawa_spark.lexicon.langdata import load_lang_data
+        from kawa_spark.lexicon_etl import build_name_lang_data
+
+        empty = spark.createDataFrame([], "locale string, key string, word string")
+        empty_wn = spark.createDataFrame([], "word string, label string")
+        empty_wl = spark.createDataFrame([], "word string, lang string")
+        out = str(tmp_path / "langdata2")
+        build_name_lang_data(
+            empty, empty_wn, empty_wl, out,
+            static_names={"sw": {"LAST_NAME": [".", "Simba Lion", "..."]}},
+        )
+        sw = load_lang_data(out, "sw")
+        assert sw["LAST_NAME"] == ["simba_lion"]
+
+
+class TestDriverCollectGuards:
+    def test_build_word2ner_guard_raises(self, spark):
+        from kawa_spark.lexicon_etl import build_word2ner
+
+        df = spark.createDataFrame(
+            [(f"w{i}", "PERSON") for i in range(11)],
+            "word string, category string",
+        )
+        with pytest.raises(ValueError, match="map-side"):
+            build_word2ner(df, max_rows=10)
+        assert len(build_word2ner(df, max_rows=11)) == 11
+
+    def test_collect_lang_maps_guard_raises(self, spark):
+        from kawa_spark.lexicon_etl import collect_lang_maps
+
+        df = spark.createDataFrame(
+            [("en", f"item{i}", f"w{i}") for i in range(11)],
+            "lang string, item string, word string",
+        )
+        with pytest.raises(ValueError, match="map-side"):
+            collect_lang_maps(df, max_rows=10)
+        out = collect_lang_maps(df, max_rows=11)
+        assert sum(len(v) for v in out["en"].values()) == 11
+
+    def test_collect_lang_maps_scalar_guard(self, spark):
+        from kawa_spark.lexicon_etl import collect_lang_maps
+
+        df = spark.createDataFrame(
+            [("en", f"w{i}", f"s{i}") for i in range(11)],
+            "lang string, word string, swap string",
+        )
+        with pytest.raises(ValueError, match="map-side"):
+            collect_lang_maps(df, scalar=True, max_rows=10)
