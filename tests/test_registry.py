@@ -1,0 +1,51 @@
+"""Driver-contract registry invariants (__spark_entry__).
+
+The round driver's correctness gate runs exactly the first 50 entries of
+``queries()`` (observed r02/r03; README "driver-gate cap"), so the
+registry order is load-bearing evidence plumbing — pin it.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+
+# rows-only by design: greedy maximal-munch extraction is not
+# SQL-expressible; gated by the byte-identity + F1 pytest suite instead
+ROWS_ONLY = {"er_mentions", "er_clusters"}
+
+
+def test_priority_window_is_exactly_50():
+    assert len(entry._DRIVER_PRIORITY) == 50
+    assert len(set(entry._DRIVER_PRIORITY)) == 50
+
+
+def test_queries_lead_with_priority_window():
+    names = list(entry.queries())
+    assert names[:50] == entry._DRIVER_PRIORITY
+    # no query lost by the reordering
+    assert len(names) == len(set(names))
+
+
+def test_every_query_has_oracle_or_is_sanctioned_rows_only():
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert qs - oracles == ROWS_ONLY
+    # no orphan oracles either
+    assert oracles <= qs
+
+
+def test_window_carries_the_r03_gap_queries():
+    """The 13 oracle-backed queries without a driver row through r03 and
+    the two new round-4 queries must sit inside the gate window."""
+    must_gate = {
+        "sessionize", "asof_error", "range_join_counts", "pii_redact",
+        "json_props_stats", "length_quantiles", "top_bigrams",
+        "rollup_revenue", "calendar_fill", "histogram_lengths",
+        "salted_agg", "repetition_ratio", "hapax_ratio",
+        "sense_merge", "asof_null_carry",
+    } | ROWS_ONLY
+    assert must_gate <= set(entry._DRIVER_PRIORITY)
