@@ -1983,6 +1983,50 @@ def _q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _er_clusters_df(spark, sf_dir)
 
 
+def _q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # delta linkage: batch-run 4/5 of the corpus, fold the remaining 1/5
+    # in via incremental_link, return the reconciled mention-level view
+    # for ALL docs — rows-only here; exact equality with a full batch
+    # run (cluster ids included, chained increments, merge events) is
+    # pinned by tests/test_incremental.py.
+    from kawa_spark.operators.blocking import add_block_keys
+    from kawa_spark.operators.incremental import ERState, incremental_link
+    from kawa_spark.pipeline import ERPipeline
+    from kawa_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _docs_as_pages(spark, sf_dir)
+    h = F.pmod(F.xxhash64("url"), F.lit(5))
+    base_docs, delta_docs = docs.filter(h != 0), docs.filter(h == 0)
+
+    pipe = ERPipeline(spark, CORPUS_WORD2NER)
+    base = pipe.run(base_docs)
+    surfaces = base.groupBy("norm").agg(
+        F.min("mention_id").alias("surface_id"),
+        F.count("*").alias("n_mentions"),
+    )
+    state = ERState.from_batch_run(
+        surfaces=surfaces,
+        block_keys=add_block_keys(
+            surfaces.select(F.col("surface_id").alias("mention_id"), "norm"),
+            pipe.cfg,
+        ),
+        clusters=base,
+    )
+    inc = incremental_link(pipe, state, delta_docs)
+
+    cols = ["url", "mention", "start", "end", "label", "norm",
+            "mention_id", "cluster_id"]
+    old_view = (
+        base.join(F.broadcast(inc.remap), "cluster_id", "left")
+        .withColumn("cluster_id", F.coalesce("final", "cluster_id"))
+        .select(*cols)
+    )
+    return old_view.unionByName(inc.new_clusters.select(*cols)).orderBy(
+        "url", "start"
+    )
+
+
 # The driver's correctness gate runs exactly the FIRST 50 entries of
 # queries() (observed r02/r03 behavior; README "driver-gate cap"). This
 # list pins which queries land in that window each round: queries that
@@ -1998,8 +2042,9 @@ _DRIVER_PRIORITY = [
     "hapax_ratio",
     # new round-4 queries
     "sense_merge", "asof_null_carry",
-    # rows-only ER flagships (never driver-recorded)
-    "er_mentions", "er_clusters",
+    # rows-only ER flagships (never driver-recorded); er_incremental is
+    # round-4 new (delta linkage, full-recompute-equality pytest oracle)
+    "er_mentions", "er_clusters", "er_incremental",
     # lang-data queries with a single (r03) driver row
     "gender_swap_map", "pronoun_gender_map", "name_lists",
     # substantive operator queries (doubly-green, kept in-window)
@@ -2009,7 +2054,9 @@ _DRIVER_PRIORITY = [
     "cc_components", "ann_lsh", "ann_ivf", "binary_meta", "soundex_blocks",
     "synonym_pivot", "hypernym_closure", "embed_weighted_merge",
     "wikiann_merge", "cluster_hygiene", "embedding_near_dup",
-    "window_lag_gaps", "token_counts", "stopword_filter", "digit_fold_vocab",
+    "window_lag_gaps", "token_counts", "digit_fold_vocab",
+    # rotated out for er_incremental: stopword_filter (driver-green in
+    # BOTH r02 and r03 + local check_oracle evidence)
     "prefix_bounds", "script_detect", "regex_ner_counts", "eval_f1_shape",
 ]
 
@@ -2065,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hapax_ratio": _q_hapax_ratio,
             "er_mentions": _q_er_mentions,
             "er_clusters": _q_er_clusters,
+            "er_incremental": _q_er_incremental,
             "sense_merge": _q_sense_merge,
             "asof_null_carry": _q_asof_null_carry,
         }

@@ -310,3 +310,67 @@ def candidate_pairs(keyed: DataFrame, cfg: PipelineConfig | None = None) -> Data
         F.first("norm_a").alias("norm_a"),
         F.first("norm_b").alias("norm_b"),
     )
+
+
+def bounded_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "mention_id",
+    payload_cols: tuple[str, ...] = ("norm",),
+    threshold: int = 2000,
+    groups: int = 8,
+) -> DataFrame:
+    """Skew-bounded left x right equi-join on ``key_col``: emits the
+    IDENTICAL row multiset to ``left.join(right, key_col)`` (one row per
+    shared key per (l, r) combination — pair-set invariance pinned by
+    tests/test_incremental.py::test_bounded_cross_pairs_equals_naive),
+    but keys whose RIGHT side holds more than ``threshold`` rows are
+    salted into ``groups`` sub-blocks: each hot right row hashes to one
+    salt, each left row on a hot key replicates to all ``groups`` salts,
+    so no task materializes an O(|L_k| x |R_k|) bucket.
+
+    This is the delta-vs-corpus join shape for incremental linkage:
+    ``left`` = new surfaces (delta-sized), ``right`` = the standing
+    block-key index (web-scale, skewed), so hotness is judged on the
+    right and the x``groups`` replication lands on the small side.
+
+    Output: (key_col, id_l, id_r, <p>_l, <p>_r for each payload col).
+    """
+    counts = right.groupBy(key_col).count()
+    hot_keys = counts.filter(F.col("count") > threshold).select(key_col)
+
+    def out_cols() -> list[Column]:
+        cols = [
+            F.col(f"l.{key_col}").alias(key_col),
+            F.col(f"l.{id_col}").alias("id_l"),
+            F.col(f"r.{id_col}").alias("id_r"),
+        ]
+        for p in payload_cols:
+            cols.append(F.col(f"l.{p}").alias(f"{p}_l"))
+            cols.append(F.col(f"r.{p}").alias(f"{p}_r"))
+        return cols
+
+    cold_r = right.join(F.broadcast(hot_keys), key_col, "left_anti")
+    cold_pairs = (
+        left.alias("l")
+        .join(cold_r.alias("r"), F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        .select(*out_cols())
+    )
+
+    hot_r = right.join(F.broadcast(hot_keys), key_col).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(groups))
+    )
+    hot_l = left.join(F.broadcast(hot_keys), key_col).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(groups - 1)))
+    )
+    hot_pairs = (
+        hot_l.alias("l")
+        .join(
+            hot_r.alias("r"),
+            (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+            & (F.col("l.salt") == F.col("r.salt")),
+        )
+        .select(*out_cols())
+    )
+    return cold_pairs.unionByName(hot_pairs)

@@ -14,8 +14,10 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry  # noqa: E402
 
 # rows-only by design: greedy maximal-munch extraction is not
-# SQL-expressible; gated by the byte-identity + F1 pytest suite instead
-ROWS_ONLY = {"er_mentions", "er_clusters"}
+# SQL-expressible; gated by the byte-identity + F1 pytest suite instead.
+# er_incremental (iterative CC + stateful delta fold) is gated by the
+# stronger full-recompute-equality oracle in tests/test_incremental.py.
+ROWS_ONLY = {"er_mentions", "er_clusters", "er_incremental"}
 
 
 def test_priority_window_is_exactly_50():
