@@ -97,6 +97,23 @@ class ERState:
         )
 
     @staticmethod
+    def empty(spark: SparkSession) -> "ERState":
+        """Zero-document state: the bootstrap for a stream that starts
+        from nothing (incremental_link over empty state degenerates to
+        exactly the batch run of the first delta)."""
+        return ERState(
+            surfaces=spark.createDataFrame(
+                [], "norm string, surface_id string, n_mentions long"
+            ),
+            block_keys=spark.createDataFrame(
+                [], "mention_id string, norm string, block_key string"
+            ),
+            surface_clusters=spark.createDataFrame(
+                [], "norm string, block_id string, cluster_id string"
+            ),
+        )
+
+    @staticmethod
     def from_out_dir(spark: SparkSession, out_dir: str) -> "ERState":
         """Build state from a checkpointed ``ERPipeline.run(out_dir=...)``:
         reads the ``surfaces``/``block_keys``/``clusters`` stage parquet

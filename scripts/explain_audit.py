@@ -120,6 +120,35 @@ def main() -> None:
             print(edges_plan[:4000])
             print("--------------")
 
+    # bounded_cross_pairs (incremental linkage's delta-vs-corpus join):
+    # assert the hot/cold split survives — hot standing keys are
+    # anti-joined out of the cold stream, and the salted hot stream
+    # unions back in. A refactor to a plain equi-join would lose both.
+    from kawa_spark.operators.blocking import bounded_cross_pairs
+
+    ldf = spark.createDataFrame(
+        [("l1", "n1", "k1")], "mention_id string, norm string, block_key string"
+    )
+    rdf = spark.createDataFrame(
+        [("r1", "m1", "k1")], "mention_id string, norm string, block_key string"
+    )
+    cross_plan = plan_of(bounded_cross_pairs(ldf, rdf, threshold=10, groups=4))
+    for desc, pred in [
+        ("cross join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("hot/cold split present (LeftAnti)", lambda p: "LeftAnti" in p),
+        ("cold+hot pair union present", lambda p: "Union" in p),
+        ("delta side replicates via explode (salt fan-out)", lambda p:
+         "Generate explode" in p or "Explode" in p or "explode" in p),
+    ]:
+        ok = pred(cross_plan)
+        failures += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'}  bounded_cross_pairs: {desc}")
+        if not ok:
+            print("---- plan ----")
+            print(cross_plan[:4000])
+            print("--------------")
+
     # pages reader: text-only plan must not scan the html binary column
     from kawa_spark.sources.pages import read_pages
 
