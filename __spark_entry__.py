@@ -1964,6 +1964,180 @@ def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_idf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus document-frequency / IDF weight table — the weighting half
+    # of IDF-weighted set similarity for near-dup and ER scoring
+    # (reference weighs surface forms by corpus rarity, cf.
+    # ontology_manager.py's cnt-based weights). Two partial-aggregated
+    # shuffles: distinct (doc, tok) then df per tok; the corpus size
+    # joins in as a broadcast scalar. All-integer until the final ln.
+    # At 10^12 docs this output is vocabulary-sized, not corpus-sized —
+    # it broadcasts back onto the scorers.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+                  FROM documents) x
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tok,
+               COUNT(*) AS df,
+               ROUND(ln(CAST(MIN(n.n_docs) AS DOUBLE) / COUNT(*)), 4) AS idf
+        FROM dt CROSS JOIN n
+        GROUP BY tok
+        HAVING COUNT(*) >= 2
+    """)
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-document distinctive terms: tf x idf scored, top-3 per doc.
+    # Ranking is integer-only (tf DESC, df ASC, tok) so the cut is
+    # bit-exact across engines; the rounded tf-idf rides along as a
+    # payload column. Shape: two agg shuffles + one broadcast-sized df
+    # join + one window — the vocab table broadcasts at any corpus size.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+                  FROM documents) x
+            GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                   ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4)
+                       AS tfidf
+            FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+            WHERE tf.doc_id < 50
+        )
+        SELECT doc_id, tok, tf, df, tfidf, rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf DESC, df ASC, tok) AS rnk
+            FROM scored
+        ) r
+        WHERE rnk <= 3
+    """)
+
+
+def _q_mention_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entity co-occurrence graph construction (relational evidence for
+    # linkage): distinct lexicon-hit surface forms per doc (mentions are
+    # lexicon matches, as in the ER pipeline — the synthetic corpus is
+    # all-lowercase so a caps heuristic never fires), per-doc fanout
+    # capped at 50 distinct mentions (bounds the pair blow-up the same
+    # way blocking caps do at 10^12 docs), self-join within doc_id,
+    # corpus-count edges with support >= 2. The self-join key is doc_id
+    # — co-partitioned, never all-pairs; the lexicon predicate is a
+    # broadcast-sized IN-list the scan prunes on.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH m AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, explode(split(text, ' ')) AS tok
+                  FROM documents) x
+            WHERE tok IN ('dup', 'vector', 'spark', 'customer',
+                          'stream', 'merge')
+        ),
+        capped AS (
+            SELECT doc_id FROM m GROUP BY doc_id
+            HAVING COUNT(*) BETWEEN 2 AND 50
+        ),
+        mm AS (SELECT m.doc_id, m.tok
+               FROM m JOIN capped ON m.doc_id = capped.doc_id)
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_docs
+        FROM mm a JOIN mm b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+        HAVING COUNT(*) >= 2
+    """)
+
+
+def _q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collocation detection: lift = P(ab) / (P(a)P(b)) for adjacent
+    # token pairs (PMI without the log — all-integer counts exposed,
+    # one rounded ratio). Unigram and bigram histograms are independent
+    # partial-agg shuffles; the unigram table is vocabulary-sized and
+    # broadcasts onto the bigram side twice. size >= 2 is guarded in a
+    # subquery BEFORE the lateral view (sequence(1, 0) descends).
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH toks AS (SELECT split(lower(text), ' ') AS toks FROM documents),
+        uni AS (
+            SELECT tok, COUNT(*) AS n
+            FROM (SELECT explode(toks) AS tok FROM toks) u
+            GROUP BY tok
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM uni),
+        big AS (
+            SELECT element_at(toks, i) AS tok_a,
+                   element_at(toks, i + 1) AS tok_b
+            FROM (SELECT toks FROM toks WHERE size(toks) >= 2) d
+            LATERAL VIEW explode(sequence(1, size(toks) - 1)) s AS i
+        ),
+        bc AS (
+            SELECT tok_a, tok_b, COUNT(*) AS n_ab
+            FROM big GROUP BY tok_a, tok_b
+            HAVING COUNT(*) >= 3
+        )
+        SELECT bc.tok_a, bc.tok_b, bc.n_ab, ua.n AS n_a, ub.n AS n_b,
+               ROUND(CAST(bc.n_ab AS DOUBLE) * t.n_tot
+                     / (CAST(ua.n AS DOUBLE) * ub.n), 4) AS lift
+        FROM bc JOIN uni ua ON bc.tok_a = ua.tok
+                JOIN uni ub ON bc.tok_b = ub.tok
+                CROSS JOIN tot t
+        ORDER BY n_ab DESC, tok_a, tok_b
+        LIMIT 30
+    """)
+
+
+def _q_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric near-dup: overlap coefficient |A n B| / min(|A|, |B|)
+    # catches quote/subset duplication that symmetric Jaccard dilutes
+    # (a doc fully contained in a 10x-longer doc scores 1.0 here,
+    # ~0.1 Jaccard). Same narrow consecutive-id pair stream as
+    # ngram_jaccard; integer numerator/denominator ride along.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH toksets AS (
+            SELECT doc_id, array_distinct(split(lower(text), ' ')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               size(array_intersect(a.toks, b.toks)) AS n_common,
+               least(size(a.toks), size(b.toks)) AS n_min,
+               ROUND(CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / least(size(a.toks), size(b.toks)), 4) AS containment
+        FROM toksets a JOIN toksets b ON b.doc_id = a.doc_id + 1
+    """)
+
+
+def _q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cluster-size distribution over the CC output — the rollup you
+    # actually monitor at 10^12 docs (a fattening tail means a hot
+    # blocking key or an over-merged entity; cf. cluster_hygiene).
+    # Two tiny agg shuffles after the CC operator. The edge predicate
+    # is sparser than cc_components' so the graph actually fragments
+    # (6 components, sizes 2-4) instead of one giant component.
+    from kawa_spark.operators.cc import connected_components
+
+    _views(spark, sf_dir)
+    edges = spark.sql("""
+        SELECT DISTINCT concat('b:', p_brand) AS u, concat('t:', p_type) AS v
+        FROM part WHERE p_size = 1 AND p_partkey % 3 = 0
+    """)
+    cc = connected_components(edges, src="u", dst="v")
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
 def _q_er_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extraction stage (mapInPandas greedy matcher) — rows-only; parity
     # vs the pure-Python oracle is pinned byte-identically in pytest.
@@ -2042,6 +2216,8 @@ _DRIVER_PRIORITY = [
     "hapax_ratio",
     # new round-4 queries
     "sense_merge", "asof_null_carry",
+    "idf_weights", "tfidf_topk", "mention_cooccur", "bigram_lift",
+    "overlap_containment", "cluster_sizes",
     # rows-only ER flagships (never driver-recorded); er_incremental is
     # round-4 new (delta linkage, full-recompute-equality pytest oracle)
     "er_mentions", "er_clusters", "er_incremental",
@@ -2054,10 +2230,11 @@ _DRIVER_PRIORITY = [
     "cc_components", "ann_lsh", "ann_ivf", "binary_meta", "soundex_blocks",
     "synonym_pivot", "hypernym_closure", "embed_weighted_merge",
     "wikiann_merge", "cluster_hygiene", "embedding_near_dup",
-    "window_lag_gaps", "token_counts", "digit_fold_vocab",
-    # rotated out for er_incremental: stopword_filter (driver-green in
-    # BOTH r02 and r03 + local check_oracle evidence)
-    "prefix_bounds", "script_detect", "regex_ner_counts", "eval_f1_shape",
+    "window_lag_gaps",
+    # rotated out for the round-4 queries (each driver-green in BOTH
+    # r02 and r03 + local check_oracle evidence): stopword_filter,
+    # token_counts, digit_fold_vocab, prefix_bounds, script_detect,
+    # regex_ner_counts, eval_f1_shape
 ]
 
 
@@ -2115,6 +2292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "er_incremental": _q_er_incremental,
             "sense_merge": _q_sense_merge,
             "asof_null_carry": _q_asof_null_carry,
+            "idf_weights": _q_idf_weights,
+            "tfidf_topk": _q_tfidf_topk,
+            "mention_cooccur": _q_mention_cooccur,
+            "bigram_lift": _q_bigram_lift,
+            "overlap_containment": _q_overlap_containment,
+            "cluster_sizes": _q_cluster_sizes,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -2517,6 +2700,139 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY lang, tok
                 ) v
                 GROUP BY lang
+            """,
+            "idf_weights": """
+                WITH dt AS (
+                    SELECT DISTINCT doc_id, tok
+                    FROM (SELECT doc_id,
+                                 unnest(string_split(lower(text), ' ')) AS tok
+                          FROM documents) x
+                ),
+                n AS (SELECT COUNT(*) AS n_docs FROM documents)
+                SELECT tok,
+                       COUNT(*) AS df,
+                       ROUND(ln(CAST(MIN(n.n_docs) AS DOUBLE) / COUNT(*)), 4)
+                           AS idf
+                FROM dt CROSS JOIN n
+                GROUP BY tok
+                HAVING COUNT(*) >= 2
+            """,
+            "tfidf_topk": """
+                WITH tf AS (
+                    SELECT doc_id, tok, COUNT(*) AS tf
+                    FROM (SELECT doc_id,
+                                 unnest(string_split(lower(text), ' ')) AS tok
+                          FROM documents) x
+                    GROUP BY doc_id, tok
+                ),
+                df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+                n AS (SELECT COUNT(*) AS n_docs FROM documents),
+                scored AS (
+                    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df),
+                                 4) AS tfidf
+                    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+                    WHERE tf.doc_id < 50
+                )
+                SELECT doc_id, tok, tf, df, tfidf, rnk
+                FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                               PARTITION BY doc_id
+                               ORDER BY tf DESC, df ASC, tok) AS rnk
+                    FROM scored
+                ) r
+                WHERE rnk <= 3
+            """,
+            "mention_cooccur": """
+                WITH m AS (
+                    SELECT DISTINCT doc_id, tok
+                    FROM (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS tok
+                          FROM documents) x
+                    WHERE tok IN ('dup', 'vector', 'spark', 'customer',
+                                  'stream', 'merge')
+                ),
+                capped AS (
+                    SELECT doc_id FROM m GROUP BY doc_id
+                    HAVING COUNT(*) BETWEEN 2 AND 50
+                ),
+                mm AS (SELECT m.doc_id, m.tok
+                       FROM m JOIN capped ON m.doc_id = capped.doc_id)
+                SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_docs
+                FROM mm a JOIN mm b
+                  ON a.doc_id = b.doc_id AND a.tok < b.tok
+                GROUP BY a.tok, b.tok
+                HAVING COUNT(*) >= 2
+            """,
+            "bigram_lift": """
+                WITH toks AS (SELECT string_split(lower(text), ' ') AS toks
+                              FROM documents),
+                uni AS (
+                    SELECT tok, COUNT(*) AS n
+                    FROM (SELECT unnest(toks) AS tok FROM toks) u
+                    GROUP BY tok
+                ),
+                tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM uni),
+                big AS (
+                    SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+                    FROM (SELECT toks FROM toks WHERE len(toks) >= 2) d,
+                    UNNEST(generate_series(1, len(toks) - 1)) AS s(i)
+                ),
+                bc AS (
+                    SELECT tok_a, tok_b, COUNT(*) AS n_ab
+                    FROM big GROUP BY tok_a, tok_b
+                    HAVING COUNT(*) >= 3
+                )
+                SELECT bc.tok_a, bc.tok_b, bc.n_ab, ua.n AS n_a, ub.n AS n_b,
+                       ROUND(CAST(bc.n_ab AS DOUBLE) * t.n_tot
+                             / (CAST(ua.n AS DOUBLE) * ub.n), 4) AS lift
+                FROM bc JOIN uni ua ON bc.tok_a = ua.tok
+                        JOIN uni ub ON bc.tok_b = ub.tok
+                        CROSS JOIN tot t
+                ORDER BY n_ab DESC, tok_a, tok_b
+                LIMIT 30
+            """,
+            "overlap_containment": """
+                WITH toksets AS (
+                    SELECT doc_id,
+                           list_distinct(string_split(lower(text), ' '))
+                               AS toks
+                    FROM documents
+                )
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(len(list_filter(a.toks,
+                                x -> list_contains(b.toks, x))) AS BIGINT)
+                           AS n_common,
+                       CAST(least(len(a.toks), len(b.toks)) AS BIGINT)
+                           AS n_min,
+                       ROUND(CAST(len(list_filter(a.toks,
+                                    x -> list_contains(b.toks, x))) AS DOUBLE)
+                             / least(len(a.toks), len(b.toks)), 4)
+                           AS containment
+                FROM toksets a JOIN toksets b ON b.doc_id = a.doc_id + 1
+            """,
+            "cluster_sizes": """
+                WITH RECURSIVE
+                edges AS (SELECT DISTINCT concat('b:', p_brand) AS u,
+                                          concat('t:', p_type) AS v
+                          FROM part
+                          WHERE p_size = 1 AND p_partkey % 3 = 0),
+                nodes AS (SELECT u AS node FROM edges
+                          UNION SELECT v FROM edges),
+                sym AS (SELECT u, v FROM edges
+                        UNION SELECT v AS u, u AS v FROM edges),
+                reach AS (
+                    SELECT node, node AS r FROM nodes
+                    UNION
+                    SELECT s.u AS node, reach.r
+                    FROM sym s JOIN reach ON s.v = reach.node
+                ),
+                comp AS (SELECT node, MIN(r) AS component
+                         FROM reach GROUP BY node)
+                SELECT sz, COUNT(*) AS n_clusters
+                FROM (SELECT component, COUNT(*) AS sz
+                      FROM comp GROUP BY component) s
+                GROUP BY sz
             """,
             # plain one-stage GROUP BY: the salted two-stage Spark plan
             # must be semantically invisible

@@ -49,6 +49,9 @@ def test_window_carries_the_r03_gap_queries():
         "rollup_revenue", "calendar_fill", "histogram_lengths",
         "salted_agg", "repetition_ratio", "hapax_ratio",
         "sense_merge", "asof_null_carry",
+        # round-4 session-2 additions (no driver row yet)
+        "idf_weights", "tfidf_topk", "mention_cooccur", "bigram_lift",
+        "overlap_containment", "cluster_sizes",
     } | ROWS_ONLY
     assert must_gate <= set(entry._DRIVER_PRIORITY)
 
