@@ -2138,6 +2138,118 @@ def _q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IDF-weighted token Jaccard for near-dup scoring: rare shared
+    # tokens count more than stopwords (plain Jaccard treats 'the' and
+    # a shared entity name equally). Weights are integer micro-units
+    # (round(ln(N/df) * 10000)) so the pair sums are order-independent
+    # — bit-exact across engines and shuffle schedules; one rounded
+    # ratio at the end. Shape: vocab-sized IDF table broadcasts onto a
+    # full-outer token join keyed by (pair, tok) — co-partitioned, the
+    # same narrow consecutive-id pair stream as ngram_jaccard.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+                  FROM documents) x
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        idf AS (
+            SELECT tok,
+                   CAST(ROUND(ln(CAST(MIN(n.n_docs) AS DOUBLE) / COUNT(*))
+                              * 10000) AS BIGINT) AS w
+            FROM dt CROSS JOIN n
+            GROUP BY tok
+        ),
+        au AS (SELECT doc_id AS doc_a, tok FROM dt),
+        bu AS (SELECT doc_id - 1 AS doc_a, tok FROM dt WHERE doc_id >= 1),
+        u AS (
+            SELECT COALESCE(au.doc_a, bu.doc_a) AS doc_a,
+                   COALESCE(au.tok, bu.tok) AS tok,
+                   (au.tok IS NOT NULL AND bu.tok IS NOT NULL) AS in_both
+            FROM au FULL OUTER JOIN bu
+              ON au.doc_a = bu.doc_a AND au.tok = bu.tok
+        ),
+        sums AS (
+            SELECT u.doc_a,
+                   SUM(CASE WHEN u.in_both THEN i.w ELSE 0 END) AS w_inter,
+                   SUM(i.w) AS w_union
+            FROM u JOIN idf i ON u.tok = i.tok
+            GROUP BY u.doc_a
+        )
+        SELECT s.doc_a, s.doc_a + 1 AS doc_b,
+               CAST(s.w_inter AS BIGINT) AS w_inter,
+               CAST(s.w_union AS BIGINT) AS w_union,
+               ROUND(CAST(s.w_inter AS DOUBLE) / s.w_union, 4) AS wjacc
+        FROM sums s
+        WHERE s.doc_a IN (SELECT doc_id FROM documents)
+          AND s.doc_a + 1 IN (SELECT doc_id FROM documents)
+          AND s.w_union > 0
+    """)
+
+
+def _q_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ER blocking-quality metric: candidate-pair recall of the
+    # MinHash-LSH blocking path vs brute-force ground truth (token
+    # Jaccard >= 0.95) on a fixed 200-doc probe subset — the number you
+    # watch when tuning bands/perms at 10^12 docs, where brute-force
+    # truth is only computable on a sampled probe set exactly like this.
+    # Same signature path as ngram_lsh_dedup (md5 MinHash, 2 bands of
+    # 4); the probe subset is fixed-size by construction so the
+    # brute-force theta join is bounded at any corpus scale.
+    # On the synthetic corpus this reads ~0.35: token sets are near-
+    # identical across planted dups but token ORDER is permuted, so
+    # char-3-gram signatures diverge from the token-Jaccard verify
+    # space — precisely the band/perm/shingle mismatch this metric
+    # exists to catch (the ER path itself blocks on surface forms,
+    # not char shingles, and is F1-gated separately).
+    from kawa_spark.operators.blocking import band_keys, minhash_signature
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 200)
+    sig = minhash_signature(F.lower(F.col("text")), perms=8, n=3, native_hash="md5")
+    keyed = docs.select(
+        "doc_id", band_keys(sig, bands=2, perms=8).alias("keys")
+    ).select("doc_id", F.explode("keys").alias("bk"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), (F.col("a.bk") == F.col("b.bk"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+    truth = (
+        toks.alias("ta")
+        .join(toks.alias("tb"), F.col("ta.doc_id") < F.col("tb.doc_id"))
+        .select(
+            F.col("ta.doc_id").alias("doc_a"),
+            F.col("tb.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect("ta.toks", "tb.toks"))
+                / F.size(F.array_union("ta.toks", "tb.toks"))
+            ).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= 0.95)
+        .select("doc_a", "doc_b")
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(cand.agg(F.count("*").alias("n_cand")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_true", "n_cand", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+        )
+    )
+
+
 def _q_er_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extraction stage (mapInPandas greedy matcher) — rows-only; parity
     # vs the pure-Python oracle is pinned byte-identically in pytest.
@@ -2217,7 +2329,8 @@ _DRIVER_PRIORITY = [
     # new round-4 queries
     "sense_merge", "asof_null_carry",
     "idf_weights", "tfidf_topk", "mention_cooccur", "bigram_lift",
-    "overlap_containment", "cluster_sizes",
+    "overlap_containment", "cluster_sizes", "weighted_jaccard",
+    "blocking_recall",
     # rows-only ER flagships (never driver-recorded); er_incremental is
     # round-4 new (delta linkage, full-recompute-equality pytest oracle)
     "er_mentions", "er_clusters", "er_incremental",
@@ -2227,14 +2340,13 @@ _DRIVER_PRIORITY = [
     "block_pairs_lev", "exact_dedup_fingerprint", "minhash_signature",
     "ngram_jaccard", "ngram_lsh_dedup", "bpe_token_counts", "quality_score",
     "lang_id_heuristic", "doc_fingerprint", "cosine_topk", "simhash_dedup",
-    "cc_components", "ann_lsh", "ann_ivf", "binary_meta", "soundex_blocks",
+    "cc_components", "ann_lsh", "ann_ivf", "soundex_blocks",
     "synonym_pivot", "hypernym_closure", "embed_weighted_merge",
     "wikiann_merge", "cluster_hygiene", "embedding_near_dup",
-    "window_lag_gaps",
     # rotated out for the round-4 queries (each driver-green in BOTH
     # r02 and r03 + local check_oracle evidence): stopword_filter,
     # token_counts, digit_fold_vocab, prefix_bounds, script_detect,
-    # regex_ner_counts, eval_f1_shape
+    # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta
 ]
 
 
@@ -2298,6 +2410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bigram_lift": _q_bigram_lift,
             "overlap_containment": _q_overlap_containment,
             "cluster_sizes": _q_cluster_sizes,
+            "weighted_jaccard": _q_weighted_jaccard,
+            "blocking_recall": _q_blocking_recall,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -2834,6 +2948,53 @@ def oracle_sql() -> dict[str, str]:
                       FROM comp GROUP BY component) s
                 GROUP BY sz
             """,
+            "weighted_jaccard": """
+                WITH dt AS (
+                    SELECT DISTINCT doc_id, tok
+                    FROM (SELECT doc_id,
+                                 unnest(string_split(lower(text), ' ')) AS tok
+                          FROM documents) x
+                ),
+                n AS (SELECT COUNT(*) AS n_docs FROM documents),
+                idf AS (
+                    SELECT tok,
+                           CAST(ROUND(ln(CAST(MIN(n.n_docs) AS DOUBLE)
+                                         / COUNT(*)) * 10000) AS BIGINT) AS w
+                    FROM dt CROSS JOIN n
+                    GROUP BY tok
+                ),
+                au AS (SELECT doc_id AS doc_a, tok FROM dt),
+                bu AS (SELECT doc_id - 1 AS doc_a, tok FROM dt
+                       WHERE doc_id >= 1),
+                u AS (
+                    SELECT COALESCE(au.doc_a, bu.doc_a) AS doc_a,
+                           COALESCE(au.tok, bu.tok) AS tok,
+                           (au.tok IS NOT NULL AND bu.tok IS NOT NULL)
+                               AS in_both
+                    FROM au FULL OUTER JOIN bu
+                      ON au.doc_a = bu.doc_a AND au.tok = bu.tok
+                ),
+                sums AS (
+                    SELECT u.doc_a,
+                           SUM(CASE WHEN u.in_both THEN i.w ELSE 0 END)
+                               AS w_inter,
+                           SUM(i.w) AS w_union
+                    FROM u JOIN idf i ON u.tok = i.tok
+                    GROUP BY u.doc_a
+                )
+                SELECT s.doc_a, s.doc_a + 1 AS doc_b,
+                       CAST(s.w_inter AS BIGINT) AS w_inter,
+                       CAST(s.w_union AS BIGINT) AS w_union,
+                       ROUND(CAST(s.w_inter AS DOUBLE) / s.w_union, 4)
+                           AS wjacc
+                FROM sums s
+                WHERE s.doc_a IN (SELECT doc_id FROM documents)
+                  AND s.doc_a + 1 IN (SELECT doc_id FROM documents)
+                  AND s.w_union > 0
+            """,
+            "blocking_recall": _duckdb_blocking_recall_sql(
+                perms=8, n=3, bands=2, max_doc=200
+            ),
             # plain one-stage GROUP BY: the salted two-stage Spark plan
             # must be semantically invisible
             "salted_agg": """
@@ -2944,6 +3105,74 @@ def _duckdb_ngram_lsh_sql(perms: int = 8, n: int = 3, bands: int = 2) -> str:
             JOIN toksets tb ON tb.doc_id = doc_b
         ) v
         WHERE jaccard >= 0.95
+    """
+
+
+def _duckdb_blocking_recall_sql(
+    perms: int = 8, n: int = 3, bands: int = 2, max_doc: int = 200
+) -> str:
+    """DuckDB mirror of blocking_recall: identical md5 MinHash band
+    keys (see _duckdb_ngram_lsh_sql) on the doc_id < max_doc probe
+    subset, LSH candidate pairs vs brute-force token-Jaccard >= 0.95
+    truth, one recall row."""
+    rows = perms // bands
+    mins = ",\n".join(
+        f"list_aggregate(list_transform(grams,"
+        f" g -> substr(md5(g), {p * 4 + 1}, 8)), 'min')"
+        f" AS m{p}"
+        for p in range(perms)
+    )
+    bandkeys = ", ".join(
+        f"'mh{b}:' || md5("
+        + " || '|' || ".join(f"m{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+        WITH docs AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id < {max_doc}),
+        sig AS (
+            SELECT doc_id, {mins}
+            FROM (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(length(padded) - {n - 1}, 1)),
+                           i -> substr(padded, CAST(i AS INT), {n}))) AS grams
+                FROM (SELECT doc_id,
+                             CASE WHEN length(lower(text)) < {n}
+                                  THEN rpad(lower(text), {n}, '#')
+                                  ELSE lower(text) END AS padded
+                      FROM docs) p
+            ) s
+        ),
+        keyed AS (SELECT doc_id, unnest([{bandkeys}]) AS bk FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        toksets AS (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM docs
+        ),
+        truth AS (
+            SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b
+            FROM toksets ta JOIN toksets tb ON ta.doc_id < tb.doc_id
+            WHERE CAST(len(list_filter(ta.toks,
+                            x -> list_contains(tb.toks, x))) AS DOUBLE)
+                  / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.95
+        ),
+        hit AS (
+            SELECT * FROM truth t
+            WHERE EXISTS (SELECT 1 FROM cand c
+                          WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+        )
+        SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+               (SELECT COUNT(*) FROM cand) AS n_cand,
+               (SELECT COUNT(*) FROM hit) AS n_hit,
+               ROUND((SELECT COUNT(*) FROM hit)
+                     / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 4)
+                   AS recall
     """
 
 
