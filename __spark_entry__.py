@@ -2203,12 +2203,42 @@ def _q_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # char-3-gram signatures diverge from the token-Jaccard verify
     # space — precisely the band/perm/shingle mismatch this metric
     # exists to catch (the ER path itself blocks on surface forms,
-    # not char shingles, and is F1-gated separately).
-    from kawa_spark.operators.blocking import band_keys, minhash_signature
+    # not char shingles, and is F1-gated separately). The A/B fix is
+    # blocking_recall_tokens below.
+    return _blocking_recall_impl(spark, sf_dir, token_shingles=False)
+
+
+def _q_blocking_recall_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the A/B counterpart of blocking_recall: identical MinHash-LSH
+    # machinery but the shingle space is whitespace TOKENS — the same
+    # space the Jaccard verify runs in. Aligning signature and verify
+    # spaces is the tuning lever: recall jumps from ~0.35 (char
+    # 3-grams) to ~1.0 on the permuted-token corpus at the same
+    # bands/perms cost.
+    return _blocking_recall_impl(spark, sf_dir, token_shingles=True)
+
+
+def _blocking_recall_impl(
+    spark: SparkSession, sf_dir: str, token_shingles: bool
+) -> DataFrame:
+    from kawa_spark.operators.blocking import (
+        band_keys,
+        minhash_from_grams,
+        minhash_signature,
+    )
 
     _views(spark, sf_dir)
     docs = spark.table("documents").filter(F.col("doc_id") < 200)
-    sig = minhash_signature(F.lower(F.col("text")), perms=8, n=3, native_hash="md5")
+    if token_shingles:
+        sig = minhash_from_grams(
+            F.array_distinct(F.split(F.lower(F.col("text")), " ")),
+            perms=8,
+            native_hash="md5",
+        )
+    else:
+        sig = minhash_signature(
+            F.lower(F.col("text")), perms=8, n=3, native_hash="md5"
+        )
     keyed = docs.select(
         "doc_id", band_keys(sig, bands=2, perms=8).alias("keys")
     ).select("doc_id", F.explode("keys").alias("bk"))
@@ -2330,7 +2360,7 @@ _DRIVER_PRIORITY = [
     "sense_merge", "asof_null_carry",
     "idf_weights", "tfidf_topk", "mention_cooccur", "bigram_lift",
     "overlap_containment", "cluster_sizes", "weighted_jaccard",
-    "blocking_recall",
+    "blocking_recall", "blocking_recall_tokens",
     # rows-only ER flagships (never driver-recorded); er_incremental is
     # round-4 new (delta linkage, full-recompute-equality pytest oracle)
     "er_mentions", "er_clusters", "er_incremental",
@@ -2338,7 +2368,7 @@ _DRIVER_PRIORITY = [
     "gender_swap_map", "pronoun_gender_map", "name_lists",
     # substantive operator queries (doubly-green, kept in-window)
     "block_pairs_lev", "exact_dedup_fingerprint", "minhash_signature",
-    "ngram_jaccard", "ngram_lsh_dedup", "bpe_token_counts", "quality_score",
+    "ngram_jaccard", "ngram_lsh_dedup", "quality_score",
     "lang_id_heuristic", "doc_fingerprint", "cosine_topk", "simhash_dedup",
     "cc_components", "ann_lsh", "ann_ivf", "soundex_blocks",
     "synonym_pivot", "hypernym_closure", "embed_weighted_merge",
@@ -2346,7 +2376,8 @@ _DRIVER_PRIORITY = [
     # rotated out for the round-4 queries (each driver-green in BOTH
     # r02 and r03 + local check_oracle evidence): stopword_filter,
     # token_counts, digit_fold_vocab, prefix_bounds, script_detect,
-    # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta
+    # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta,
+    # bpe_token_counts
 ]
 
 
@@ -2412,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cluster_sizes": _q_cluster_sizes,
             "weighted_jaccard": _q_weighted_jaccard,
             "blocking_recall": _q_blocking_recall,
+            "blocking_recall_tokens": _q_blocking_recall_tokens,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -2995,6 +3027,9 @@ def oracle_sql() -> dict[str, str]:
             "blocking_recall": _duckdb_blocking_recall_sql(
                 perms=8, n=3, bands=2, max_doc=200
             ),
+            "blocking_recall_tokens": _duckdb_blocking_recall_sql(
+                perms=8, n=3, bands=2, max_doc=200, token_shingles=True
+            ),
             # plain one-stage GROUP BY: the salted two-stage Spark plan
             # must be semantically invisible
             "salted_agg": """
@@ -3109,12 +3144,18 @@ def _duckdb_ngram_lsh_sql(perms: int = 8, n: int = 3, bands: int = 2) -> str:
 
 
 def _duckdb_blocking_recall_sql(
-    perms: int = 8, n: int = 3, bands: int = 2, max_doc: int = 200
+    perms: int = 8,
+    n: int = 3,
+    bands: int = 2,
+    max_doc: int = 200,
+    token_shingles: bool = False,
 ) -> str:
-    """DuckDB mirror of blocking_recall: identical md5 MinHash band
-    keys (see _duckdb_ngram_lsh_sql) on the doc_id < max_doc probe
+    """DuckDB mirror of blocking_recall[_tokens]: identical md5 MinHash
+    band keys (see _duckdb_ngram_lsh_sql) on the doc_id < max_doc probe
     subset, LSH candidate pairs vs brute-force token-Jaccard >= 0.95
-    truth, one recall row."""
+    truth, one recall row. ``token_shingles`` switches the shingle
+    space from char n-grams to whitespace tokens (mirrors
+    minhash_from_grams over split())."""
     rows = perms // bands
     mins = ",\n".join(
         f"list_aggregate(list_transform(grams,"
@@ -3128,22 +3169,30 @@ def _duckdb_blocking_recall_sql(
         + ")"
         for b in range(bands)
     )
+    if token_shingles:
+        grams_cte = """
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS grams
+            FROM docs
+        """
+    else:
+        grams_cte = f"""
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(length(padded) - {n - 1}, 1)),
+                       i -> substr(padded, CAST(i AS INT), {n}))) AS grams
+            FROM (SELECT doc_id,
+                         CASE WHEN length(lower(text)) < {n}
+                              THEN rpad(lower(text), {n}, '#')
+                              ELSE lower(text) END AS padded
+                  FROM docs) p
+        """
     return f"""
         WITH docs AS (SELECT doc_id, text FROM documents
                       WHERE doc_id < {max_doc}),
         sig AS (
             SELECT doc_id, {mins}
-            FROM (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           generate_series(1, greatest(length(padded) - {n - 1}, 1)),
-                           i -> substr(padded, CAST(i AS INT), {n}))) AS grams
-                FROM (SELECT doc_id,
-                             CASE WHEN length(lower(text)) < {n}
-                                  THEN rpad(lower(text), {n}, '#')
-                                  ELSE lower(text) END AS padded
-                      FROM docs) p
-            ) s
+            FROM ({grams_cte}) s
         ),
         keyed AS (SELECT doc_id, unnest([{bandkeys}]) AS bk FROM sig),
         cand AS (

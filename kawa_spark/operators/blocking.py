@@ -44,17 +44,29 @@ _LONG_MAX = (1 << 63) - 1
 
 
 def minhash_signature(col: Column, perms: int, n: int, native_hash: str = "xxhash64") -> Column:
-    """array<string> of per-permutation minima. ``native_hash`` is
-    'xxhash64' (fast) or 'md5' (cross-engine deterministic — DuckDB
-    computes the identical value, used by the correctness oracle).
+    """array<string> of per-permutation minima over character n-gram
+    shingles. ``native_hash`` is 'xxhash64' (fast) or 'md5'
+    (cross-engine deterministic — DuckDB computes the identical value,
+    used by the correctness oracle).
 
     The fast path is a SINGLE pass over the shingle array
     (``F.aggregate`` folding a perms-wide min vector) — the naive
     per-permutation ``array_min(transform(grams, ...))`` form re-walks
     (and re-builds) the gram array once per permutation, a measured ~7x
     CPU overhead that would dominate the blocking stage at 100 TB."""
-    grams = _char_shingles(col, n)
+    return minhash_from_grams(_char_shingles(col, n), perms, native_hash)
 
+
+def minhash_from_grams(
+    grams: Column, perms: int, native_hash: str = "xxhash64"
+) -> Column:
+    """MinHash fold over an arbitrary shingle array — lets callers pick
+    the shingle space (char n-grams via minhash_signature, whitespace
+    tokens, field values, ...) without duplicating the single-pass
+    aggregate. Choosing shingles that match the downstream verify
+    metric is what decides recall: char shingles under a token-Jaccard
+    verify under-recall on token-permuted near-dups (see the
+    blocking_recall vs blocking_recall_tokens queries)."""
     if native_hash == "md5":
         # oracle-parity path: ONE md5 per gram (computed in a transform
         # so it cannot be re-evaluated per permutation), then each
