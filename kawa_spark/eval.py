@@ -71,6 +71,54 @@ def pairwise_f1(labeled: DataFrame) -> dict:
     return {"tp": tp, "fp": fp, "fn": fn, "precision": p, "recall": r, "f1": f1}
 
 
+def bcubed(assignments: DataFrame) -> dict:
+    """B-cubed precision/recall/F1 over (mention_id, cluster_id,
+    entity_id) rows (Bagga & Baldwin 1998; extrinsic-measure survey in
+    Amigo et al. 2009).
+
+    Per-mention precision = |cluster n entity| / |cluster|, recall =
+    |cluster n entity| / |entity|, averaged over mentions. Unlike
+    pairwise F1 (which weights a cluster's errors quadratically in its
+    size), B3 weights every mention equally — a single over-merged
+    mega-cluster cannot hide behind many small correct clusters, and
+    vice versa, so the two gates fail independently.
+
+    Distributed shape: per-mention scores are constant within a
+    (cluster, entity) cell, so the averages collapse to cell sums —
+    precision = (1/N) sum n_ce^2 / n_c, recall = (1/N) sum n_ce^2 / n_e.
+    Three partial-agg shuffles (cells, cluster sizes, entity sizes) and
+    two joins of aggregated (vocabulary-sized) tables; no pairs are
+    materialized, so this runs at corpus scales where O(pairs) metrics
+    cannot. Mentions with NULL entity_id (unlabeled) are excluded.
+    """
+    a = assignments.select("mention_id", "cluster_id", "entity_id").filter(
+        F.col("entity_id").isNotNull()
+    )
+    cells = a.groupBy("cluster_id", "entity_id").agg(F.count("*").alias("n_ce"))
+    csize = a.groupBy("cluster_id").agg(F.count("*").alias("n_c"))
+    esize = a.groupBy("entity_id").agg(F.count("*").alias("n_e"))
+    agg = (
+        cells.join(csize, "cluster_id")
+        .join(esize, "entity_id")
+        .agg(
+            F.sum("n_ce").alias("n"),
+            F.sum(F.col("n_ce") * F.col("n_ce") / F.col("n_c")).alias("sp"),
+            F.sum(F.col("n_ce") * F.col("n_ce") / F.col("n_e")).alias("sr"),
+        )
+        .first()
+    )
+    n = agg["n"] or 0
+    if not n:
+        return {"n": 0, "precision": 1.0, "recall": 1.0, "f1": 1.0}
+    p, r = agg["sp"] / n, agg["sr"] / n
+    return {
+        "n": n,
+        "precision": p,
+        "recall": r,
+        "f1": 2 * p * r / (p + r) if p + r else 0.0,
+    }
+
+
 def ner_string_f1(pred_mentions: DataFrame, gold: DataFrame) -> dict:
     """Type-insensitive exact-string match per the reference harness
     (eval.py:173-188): predicted surface set vs gold surface set."""

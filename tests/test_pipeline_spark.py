@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kawa_spark.config import PipelineConfig
-from kawa_spark.eval import labeled_pairs_from_truth, pairwise_f1
+from kawa_spark.eval import bcubed, labeled_pairs_from_truth, pairwise_f1
 from kawa_spark.lexicon.matcher import KawaMatcher
 from kawa_spark.operators.blocking import add_block_keys, candidate_pairs
 from kawa_spark.operators.extract import extract_mentions, split_outputs
@@ -218,11 +218,32 @@ class TestEndToEnd:
         keyed = add_block_keys(
             clusters.select("mention_id", "norm"), pipe.cfg
         )
-        labeled = labeled_pairs_from_truth(
-            clusters, spark.createDataFrame(truth), keyed
-        )
+        truth_df = spark.createDataFrame(truth)
+        labeled = labeled_pairs_from_truth(clusters, truth_df, keyed)
         stats = pairwise_f1(labeled)
         assert stats["f1"] >= 0.99, stats
+        # independent gate in the B-cubed family: every mention weighted
+        # equally, so over/under-merging cannot hide in cluster-size
+        # skew the way it can in the pairwise count. B3 is GLOBAL —
+        # unlike the within-block pairwise contract (BASELINE.json:2) it
+        # also counts same-entity mentions that never share a blocking
+        # key, which blocking-based ER cannot merge by design; on this
+        # corpus that cross-block split mass is ~8% of recall
+        # (measured 1.000 P / 0.919 R). Gates are calibrated to catch
+        # regressions in each failure mode separately: any over-merge
+        # breaks the precision gate, any widening of the split mass
+        # breaks the recall gate.
+        assignments = (
+            clusters.select("mention_id", "norm", "cluster_id")
+            .withColumn("surface", F.regexp_replace("norm", "_", " "))
+            .join(truth_df.withColumn("surface", F.lower("surface")),
+                  "surface", "left")
+            .select("mention_id", "cluster_id", "entity_id")
+        )
+        b3 = bcubed(assignments)
+        assert b3["precision"] >= 0.995, b3
+        assert b3["recall"] >= 0.90, b3
+        assert b3["f1"] >= 0.95, b3
 
     def test_resume_skips_and_matches(self, spark, corpus, docs_df, tmp_path):
         pipe = ERPipeline(
