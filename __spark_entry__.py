@@ -1365,6 +1365,169 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # similarity-search quality metric: recall@5 of the LSH-ANN path vs
+    # exact brute-force top-5, per query — the hyperplane-count tuning
+    # signal, measured the same way blocking_recall measures MinHash
+    # band tuning. The brute-force side is bounded by the fixed 8-query
+    # probe set (queries x corpus, never corpus x corpus), so the truth
+    # stays computable at any corpus scale.
+    _views(spark, sf_dir)
+    planes = _lsh_planes()
+    arr = lambda p: "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in p) + ")"  # noqa: E731
+    bucket = " + ".join(
+        f"CAST(CASE WHEN aggregate(zip_with(embedding, {arr(p)},"
+        f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+        f" (acc, v) -> acc + v) > 0 THEN {1 << i} ELSE 0 END AS BIGINT)"
+        for i, p in enumerate(planes)
+    )
+    dot = (
+        "aggregate(zip_with(q.qv, c.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return spark.sql(f"""
+        WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket
+                   FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+                   FROM b WHERE vec_id < 8),
+             c AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id >= 8),
+             exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY dot DESC, neighbor_id)
+                               AS rnk
+                    FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                                 {dot} AS dot
+                          FROM q CROSS JOIN c) s
+                ) x WHERE rnk <= 5
+             ),
+             approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY dot DESC, neighbor_id)
+                               AS rnk
+                    FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                                 {dot} AS dot
+                          FROM q JOIN c ON q.bucket = c.bucket) s
+                ) y WHERE rnk <= 5
+             )
+        SELECT e.query_id,
+               COUNT(*) AS n_true,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    """)
+
+
+def _ann_multi_bucket_exprs(dialect: str, tables: int = 8, k: int = 4) -> str:
+    """Per-table LSH bucket expressions (tables x k hyperplanes, plane
+    family offset 100 so the single-table query keeps its own planes).
+    Returns the SQL for an array of `tables` bucket ids, one per table.
+    Dialect: 'spark' (aggregate/zip_with fold) or 'duckdb' (list_sum) —
+    the same fold pairing proven dot-identical by the ann_lsh oracle."""
+    planes = _lsh_planes(n_planes=100 + tables * k)[100:]
+    exprs = []
+    for t in range(tables):
+        sides = []
+        for r in range(k):
+            p = planes[t * k + r]
+            if dialect == "spark":
+                arr = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in p) + ")"
+                dot = (
+                    f"aggregate(zip_with(embedding, {arr},"
+                    f" (x, y) -> CAST(x AS DOUBLE) * y),"
+                    f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                )
+            else:
+                arr = "[" + ",".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"
+                dot = (
+                    f"list_sum(list_transform(generate_series(1, 64),"
+                    f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+                )
+            sides.append(
+                f"CAST(CASE WHEN {dot} > 0 THEN {1 << r} ELSE 0 END AS BIGINT)"
+            )
+        # key = table_id * 16 + bucket keeps tables' key spaces disjoint
+        exprs.append(f"({t * 16} + " + " + ".join(sides) + ")")
+    if dialect == "spark":
+        return "array(" + ", ".join(exprs) + ")"
+    return "[" + ", ".join(exprs) + "]"
+
+
+def _q_ann_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the A/B counterpart of ann_recall: OR-amplified multi-table LSH
+    # (8 tables x 4 hyperplanes — a candidate if ANY table agrees)
+    # lifts recall@5 from ~0.0 (single 6-plane table, the worst case:
+    # the synthetic embeddings are uniform-random, so no cluster
+    # structure helps) to ~0.72 while scanning ~39% of the corpus per
+    # query instead of 100%. Same bucket-equi-join scale shape; the
+    # bucket key embeds the table id so one join serves all tables.
+    _views(spark, sf_dir)
+    bks = _ann_multi_bucket_exprs("spark")
+    dot = (
+        "aggregate(zip_with(q.qv, c.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return spark.sql(f"""
+        WITH b AS (SELECT vec_id, embedding, {bks} AS bks FROM embeddings),
+             qk AS (SELECT vec_id AS query_id, bk
+                    FROM (SELECT vec_id, bks FROM b WHERE vec_id < 8) x
+                    LATERAL VIEW explode(bks) s AS bk),
+             ck AS (SELECT vec_id, bk
+                    FROM (SELECT vec_id, bks FROM b WHERE vec_id >= 8) x
+                    LATERAL VIEW explode(bks) s AS bk),
+             cand AS (SELECT DISTINCT qk.query_id, ck.vec_id AS neighbor_id
+                      FROM qk JOIN ck ON qk.bk = ck.bk),
+             q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id >= 8),
+             exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY dot DESC, neighbor_id)
+                               AS rnk
+                    FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                                 {dot} AS dot
+                          FROM q CROSS JOIN c) s
+                ) x WHERE rnk <= 5
+             ),
+             approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY dot DESC, neighbor_id)
+                               AS rnk
+                    FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                                 {dot} AS dot
+                          FROM cand
+                          JOIN q ON q.query_id = cand.query_id
+                          JOIN c ON c.vec_id = cand.neighbor_id) s
+                ) y WHERE rnk <= 5
+             )
+        SELECT e.query_id,
+               COUNT(*) AS n_true,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    """)
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # similarity search, IVF scale path (G4 analog, ref create_indexer):
     # deterministic md5-sampled heads, broadcast argmax-cosine assign,
@@ -2360,7 +2523,8 @@ _DRIVER_PRIORITY = [
     "sense_merge", "asof_null_carry",
     "idf_weights", "tfidf_topk", "mention_cooccur", "bigram_lift",
     "overlap_containment", "cluster_sizes", "weighted_jaccard",
-    "blocking_recall", "blocking_recall_tokens",
+    "blocking_recall", "blocking_recall_tokens", "ann_recall",
+    "ann_recall_multi",
     # rows-only ER flagships (never driver-recorded); er_incremental is
     # round-4 new (delta linkage, full-recompute-equality pytest oracle)
     "er_mentions", "er_clusters", "er_incremental",
@@ -2368,8 +2532,8 @@ _DRIVER_PRIORITY = [
     "gender_swap_map", "pronoun_gender_map", "name_lists",
     # substantive operator queries (doubly-green, kept in-window)
     "block_pairs_lev", "exact_dedup_fingerprint", "minhash_signature",
-    "ngram_jaccard", "ngram_lsh_dedup", "quality_score",
-    "lang_id_heuristic", "doc_fingerprint", "cosine_topk", "simhash_dedup",
+    "ngram_jaccard", "ngram_lsh_dedup",
+    "lang_id_heuristic", "doc_fingerprint", "cosine_topk",
     "cc_components", "ann_lsh", "ann_ivf", "soundex_blocks",
     "synonym_pivot", "hypernym_closure", "embed_weighted_merge",
     "wikiann_merge", "cluster_hygiene", "embedding_near_dup",
@@ -2377,7 +2541,7 @@ _DRIVER_PRIORITY = [
     # r02 and r03 + local check_oracle evidence): stopword_filter,
     # token_counts, digit_fold_vocab, prefix_bounds, script_detect,
     # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta,
-    # bpe_token_counts
+    # bpe_token_counts, quality_score, simhash_dedup
 ]
 
 
@@ -2444,6 +2608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "weighted_jaccard": _q_weighted_jaccard,
             "blocking_recall": _q_blocking_recall,
             "blocking_recall_tokens": _q_blocking_recall_tokens,
+            "ann_recall": _q_ann_recall,
+            "ann_recall_multi": _q_ann_recall_multi,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -3030,6 +3196,8 @@ def oracle_sql() -> dict[str, str]:
             "blocking_recall_tokens": _duckdb_blocking_recall_sql(
                 perms=8, n=3, bands=2, max_doc=200, token_shingles=True
             ),
+            "ann_recall": _duckdb_ann_recall_sql(),
+            "ann_recall_multi": _duckdb_ann_recall_multi_sql(),
             # plain one-stage GROUP BY: the salted two-stage Spark plan
             # must be semantically invisible
             "salted_agg": """
@@ -3082,6 +3250,121 @@ def _duckdb_ann_lsh_sql() -> str:
             FROM scored
         ) r
         WHERE rank <= 5
+    """
+
+
+def _duckdb_ann_recall_sql() -> str:
+    """DuckDB mirror of _q_ann_recall: identical hyperplanes, identical
+    list_sum dot products (matches Spark's left-fold, proven by the
+    ann_lsh/cosine_topk parity), exact-vs-bucketed top-5 overlap."""
+    planes = _lsh_planes()
+    arr = lambda p: "[" + ",".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"  # noqa: E731
+    bucket = " + ".join(
+        f"CAST(CASE WHEN list_sum(list_transform(generate_series(1, 64),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ({arr(p)})[i])) > 0"
+        f" THEN {1 << i} ELSE 0 END AS BIGINT)"
+        for i, p in enumerate(planes)
+    )
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(q.qv)),"
+        " i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket
+                   FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+                   FROM b WHERE vec_id < 8),
+             c AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id >= 8),
+             exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY dot DESC, neighbor_id)
+                               AS rnk
+                    FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                                 {dot} AS dot
+                          FROM q CROSS JOIN c) s
+                ) x WHERE rnk <= 5
+             ),
+             approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY dot DESC, neighbor_id)
+                               AS rnk
+                    FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                                 {dot} AS dot
+                          FROM q JOIN c ON q.bucket = c.bucket) s
+                ) y WHERE rnk <= 5
+             )
+        SELECT e.query_id,
+               COUNT(*) AS n_true,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    """
+
+
+def _duckdb_ann_recall_multi_sql() -> str:
+    """DuckDB mirror of _q_ann_recall_multi: identical 8x4 plane family
+    (offset 100), identical table-disjoint bucket keys, identical
+    exact-vs-candidate top-5 overlap."""
+    bks = _ann_multi_bucket_exprs("duckdb")
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(q.qv)),"
+        " i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bks} AS bks FROM embeddings),
+             qk AS (SELECT vec_id AS query_id, unnest(bks) AS bk
+                    FROM b WHERE vec_id < 8),
+             ck AS (SELECT vec_id, unnest(bks) AS bk
+                    FROM b WHERE vec_id >= 8),
+             cand AS (SELECT DISTINCT qk.query_id, ck.vec_id AS neighbor_id
+                      FROM qk JOIN ck ON qk.bk = ck.bk),
+             q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id >= 8),
+             exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY dot DESC, neighbor_id)
+                               AS rnk
+                    FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                                 {dot} AS dot
+                          FROM q CROSS JOIN c) s
+                ) x WHERE rnk <= 5
+             ),
+             approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY dot DESC, neighbor_id)
+                               AS rnk
+                    FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+                                 {dot} AS dot
+                          FROM cand
+                          JOIN q ON q.query_id = cand.query_id
+                          JOIN c ON c.vec_id = cand.neighbor_id) s
+                ) y WHERE rnk <= 5
+             )
+        SELECT e.query_id,
+               COUNT(*) AS n_true,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
     """
 
 

@@ -52,7 +52,8 @@ def test_window_carries_the_r03_gap_queries():
         # round-4 session-2 additions (no driver row yet)
         "idf_weights", "tfidf_topk", "mention_cooccur", "bigram_lift",
         "overlap_containment", "cluster_sizes", "weighted_jaccard",
-        "blocking_recall", "blocking_recall_tokens",
+        "blocking_recall", "blocking_recall_tokens", "ann_recall",
+        "ann_recall_multi",
     } | ROWS_ONLY
     assert must_gate <= set(entry._DRIVER_PRIORITY)
 
