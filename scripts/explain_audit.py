@@ -75,6 +75,41 @@ CHECKS = {
         ("interval join is equi (no theta)", lambda p:
          "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
     ],
+    "idf_weights": [
+        ("partial agg before shuffle", lambda p: "HashAggregate" in p),
+        ("scan prunes to doc_id+text", lambda p: re.search(
+            r"ReadSchema: struct<doc_id:bigint,text:string>", p) is not None),
+    ],
+    "mention_cooccur": [
+        ("self-join is equi on doc_id (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("partial agg before shuffle", lambda p: "partial_count" in p),
+    ],
+    # weighted_jaccard's plan contains ONE BroadcastNestedLoopJoin by
+    # design: the 1-row corpus-count scalar crossed onto the vocab table
+    # (CROSS JOIN n). The heavy join — (pair, token) full-outer — must
+    # still shuffle on its keys, and nothing may plan as a cartesian.
+    "weighted_jaccard": [
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("pair-token full-outer shuffles on keys", lambda p:
+         "SortMergeJoin" in p and "FullOuter" in p),
+        # formatted explain prints each node twice (tree + detail
+        # section), so ONE BNLJ node = 2 string occurrences
+        ("only the scalar-count BNLJ", lambda p:
+         p.count("BroadcastNestedLoopJoin") <= 2),
+    ],
+    # blocking_recall / ann_recall contain a brute-force side that IS a
+    # bounded nested-loop by design (truth on a fixed probe subset);
+    # the scale evidence is the probe filter reaching the parquet scan,
+    # which bounds that loop at any corpus size.
+    "blocking_recall_tokens": [
+        ("probe-set filter pushed to scan", lambda p:
+         "LessThan(doc_id,200)" in p),
+    ],
+    "ann_recall_multi": [
+        ("probe filter pushed to scan", lambda p:
+         "LessThan(vec_id,8)" in p),
+    ],
     "asof_error": [
         ("single window pass (one sort per partition key)", lambda p:
          p.count("Window") <= 2),
