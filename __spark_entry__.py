@@ -2391,7 +2391,13 @@ def _blocking_recall_impl(
     )
 
     _views(spark, sf_dir)
-    docs = spark.table("documents").filter(F.col("doc_id") < 200)
+    # the probe subset arrives in ONE scan partition (200 rows); spread
+    # it so the md5 fold (~20ms/doc interpreted) parallelizes
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 200)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     if token_shingles:
         sig = minhash_from_grams(
             F.array_distinct(F.split(F.lower(F.col("text")), " ")),
@@ -2405,6 +2411,12 @@ def _blocking_recall_impl(
     keyed = docs.select(
         "doc_id", band_keys(sig, bands=2, perms=8).alias("keys")
     ).select("doc_id", F.explode("keys").alias("bk"))
+    # the bucket self-join consumes keyed twice — persist so the
+    # signature subtree (the expensive part) runs once, same pattern
+    # as ngram_lsh_dedup
+    keyed = _persist_tagged(
+        keyed, f"blocking_recall.keyed.{int(token_shingles)}"
+    )
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), (F.col("a.bk") == F.col("b.bk"))
