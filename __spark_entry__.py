@@ -1092,21 +1092,33 @@ def _q_ngram_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard >= 0.95 forces |A| and |B| within 5%, so pairs outside
     # that band can be dropped for free (provably no effect on output —
     # the oracle runs without the filter and matches).
-    keyed = docs.select(
-        "doc_id",
-        F.size(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
-            "n_tok"
+    # lazy persist of the SIGNATURE before banding: (doc_id, n_tok,
+    # sig) is tiny (8 short strings + an int per doc) while its subtree
+    # — scan + shingle + md5 fold — is the expensive part, so every
+    # downstream consumer reads the cache instead of re-scanning
+    # (measured 5.8s vs 20s un-persisted at sf0.01/local[8]).
+    # Persisting at the sig (not the banded-key) boundary additionally
+    # dodges an interpreted-HOF penalty: band_keys inlined over the
+    # un-materialized fold evaluates interpreted (nested higher-order
+    # functions disable codegen) at ~5x the cost of band keys over a
+    # stored array column (sf0.1: 3.6s inline vs 2.0s fold + 0.3s
+    # banding). Tagged so repeat invocations in one session do not
+    # accumulate cached copies.
+    sigs = _persist_tagged(
+        docs.select(
+            "doc_id",
+            F.size(
+                F.array_distinct(F.split(F.lower(F.col("text")), " "))
+            ).alias("n_tok"),
+            sig.alias("sig"),
         ),
-        band_keys(sig, bands=2, perms=8).alias("keys"),
-    ).select("doc_id", "n_tok", F.explode("keys").alias("bk"))
-    # lazy persist before the self-join: (doc_id, n_tok, bk) is tiny
-    # (bands x n_docs rows) while its subtree — scan + shingle + md5 —
-    # is the expensive part. The broadcast side materializes first and
-    # populates the cache; the probe side then reads it, so the subtree
-    # runs once without an eager count() job at plan-construction time
-    # (measured 5.8s vs 20s un-persisted at sf0.01/local[8]). Tagged so
-    # repeat invocations in one session do not accumulate cached copies.
-    keyed = _persist_tagged(keyed, "ngram_lsh_dedup.keyed")
+        "ngram_lsh_dedup.sigs",
+    )
+    keyed = sigs.select(
+        "doc_id",
+        "n_tok",
+        F.explode(band_keys(F.col("sig"), bands=2, perms=8)).alias("bk"),
+    )
     # the band-bucket self-join goes through the same triangle
     # partitioning as the ER path's candidate_pairs: one boilerplate-
     # heavy band key on real web text would otherwise become a single
@@ -2408,15 +2420,20 @@ def _blocking_recall_impl(
         sig = minhash_signature(
             F.lower(F.col("text")), perms=8, n=3, native_hash="md5"
         )
-    keyed = docs.select(
-        "doc_id", band_keys(sig, bands=2, perms=8).alias("keys")
-    ).select("doc_id", F.explode("keys").alias("bk"))
-    # the bucket self-join consumes keyed twice — persist so the
-    # signature subtree (the expensive part) runs once, same pattern
-    # as ngram_lsh_dedup
-    keyed = _persist_tagged(
-        keyed, f"blocking_recall.keyed.{int(token_shingles)}"
+    # persist the SIGNATURE, not the banded keys: band_keys inlined
+    # over the un-materialized fold is evaluated interpreted (nested
+    # higher-order functions disable codegen) at a measured ~5x the
+    # cost of band keys over a stored array column. The bucket
+    # self-join then consumes keyed twice, each pass re-deriving band
+    # keys from the cached signature for ~0.3s instead of re-walking
+    # the fold.
+    sigs = _persist_tagged(
+        docs.select("doc_id", sig.alias("sig")),
+        f"blocking_recall.sigs.{int(token_shingles)}",
     )
+    keyed = sigs.select(
+        "doc_id", band_keys(F.col("sig"), bands=2, perms=8).alias("keys")
+    ).select("doc_id", F.explode("keys").alias("bk"))
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), (F.col("a.bk") == F.col("b.bk"))
