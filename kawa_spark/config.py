@@ -9,6 +9,13 @@ from dataclasses import asdict, dataclass, field
 
 @dataclass(frozen=True)
 class PipelineConfig:
+    # extraction: run the Python matcher once per distinct
+    # (lang, normalized text) and fan results back out to urls instead
+    # of once per document — opt in for crawl-shaped corpora with heavy
+    # exact duplication (see operators.extract.extract_mentions_dedup).
+    # Changes the physical plan only; the mention row set is identical
+    # (tests/test_extract_dedup.py).
+    dedup_texts: bool = False
     # matcher
     connector: str = "_"
     compound_word_step: int = 3

@@ -23,7 +23,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -110,6 +110,91 @@ def normalize_whitespace(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         text_col, F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     )
+
+
+def _with_mention_id(mentions: DataFrame) -> DataFrame:
+    """Stable mention id (FIXTURES.md §4): sha1(url:start:mention) for
+    mention rows, NULL for the per-document text sentinel rows. Kept in
+    one place so the distinct-text path re-derives ids that are
+    byte-equal to the per-document path's."""
+    return mentions.withColumn(
+        "mention_id",
+        F.when(
+            F.col("mention").isNotNull(),
+            F.sha1(
+                F.concat_ws(":", F.col("url"), F.col("start"), F.col("mention"))
+            ),
+        ),
+    )
+
+
+def _text_dedup_key(lang: Column, text: Column) -> Column:
+    """Grouping key for the distinct-text extraction path: extraction
+    depends only on (lang, whitespace-normalized text), so docs that
+    agree on both produce identical mention sets. sha2-256 makes key
+    collisions cryptographically negligible; NULL lang folds to '' —
+    the matcher treats both as the '' language, so the merge is
+    behavior-preserving, not lossy."""
+    return F.sha2(
+        F.concat_ws(
+            "\x00", F.coalesce(lang, F.lit("")), F.coalesce(text, F.lit(""))
+        ),
+        256,
+    )
+
+
+def extract_mentions_dedup(
+    docs: DataFrame,
+    word2ner: list | None,
+    cfg: PipelineConfig | None = None,
+    emit_text: bool = True,
+    lexicon_path: str | None = None,
+) -> DataFrame:
+    """``extract_mentions`` that runs the Python matcher ONCE per
+    distinct (lang, normalized text) and fans results back out to every
+    url — same output rows, ids included, as the per-document path
+    (pinned by tests/test_extract_dedup.py).
+
+    Why: Common-Crawl-style corpora carry heavy exact duplication
+    (multi-snapshot re-crawls, mirrored pages, boilerplate-only urls).
+    The per-row matcher is the pipeline's dominant cost (~0.4 ms/doc),
+    so paying it per distinct text instead of per url short-circuits
+    exactly the rows where the work is provably redundant.
+
+    Scale shape (10^12 docs): one partial-aggregated shuffle keyed by
+    text hash — the map-side min(struct) combiner keeps ONE text per
+    key per map task, so the exchange carries ~distinct-texts rows, not
+    the corpus; extraction then runs over the deduped set; the fan-out
+    join shuffles only (tkey, url) pairs plus the narrow mention rows
+    (AQE broadcasts the mention side when the distinct set is small).
+    With no duplication it degrades to the per-document cost plus one
+    hash exchange — opt in (cfg.dedup_texts) when the corpus is
+    crawl-shaped."""
+    cfg = cfg or PipelineConfig()
+    docs = normalize_whitespace(docs.select("url", "text", "lang"))
+    keyed = docs.withColumn(
+        "tkey", _text_dedup_key(F.col("lang"), F.col("text"))
+    )
+    mapping = keyed.select("tkey", "url")
+    reps = (
+        keyed.groupBy("tkey")
+        .agg(F.min(F.struct("url", "lang", "text")).alias("s"))
+        .select(
+            # ride the tkey through the inner extraction in the url slot:
+            # extraction treats url as an opaque passthrough
+            F.col("tkey").alias("url"),
+            F.col("s.text").alias("text"),
+            F.col("s.lang").alias("lang"),
+        )
+    )
+    rep_out = extract_mentions(
+        reps, word2ner, cfg, emit_text=emit_text, lexicon_path=lexicon_path
+    ).drop("mention_id")
+    rep_cols = [c for c in rep_out.columns if c != "url"]
+    out = mapping.join(
+        rep_out.withColumnRenamed("url", "tkey"), "tkey"
+    ).select("url", *rep_cols)
+    return _with_mention_id(out)
 
 
 def extract_mentions(
@@ -207,15 +292,7 @@ def extract_mentions(
     if not emit_text:
         schema = StructType([f for f in MENTION_SCHEMA.fields if f.name != "extracted_text"])
 
-    mentions = docs.mapInPandas(run, schema=schema)
-    # stable mention id (FIXTURES.md §4)
-    return mentions.withColumn(
-        "mention_id",
-        F.when(
-            F.col("mention").isNotNull(),
-            F.sha1(F.concat_ws(":", F.col("url"), F.col("start"), F.col("mention"))),
-        ),
-    )
+    return _with_mention_id(docs.mapInPandas(run, schema=schema))
 
 
 def split_outputs(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:

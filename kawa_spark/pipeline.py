@@ -29,7 +29,11 @@ from .operators.cc import (
     assign_surface_clusters,
     connected_components,
 )
-from .operators.extract import extract_mentions, split_outputs
+from .operators.extract import (
+    extract_mentions,
+    extract_mentions_dedup,
+    split_outputs,
+)
 from .operators.scoring import match_edges, score_pairs
 
 STAGES = ["mentions", "surfaces", "block_keys", "pairs", "edges", "clusters"]
@@ -215,10 +219,14 @@ class ERPipeline:
         # clustering never reads the spliced text -> emit_text=False
         # keeps the 10^12-row text column out of Arrow/cache entirely
         # (the byte-identity surface is extracted_text(), a separate run)
+        # cfg.dedup_texts routes through the distinct-text matcher path
+        # (one matcher call per distinct (lang, text), fan back out to
+        # urls) — identical rows, crawl-duplication short-circuited
+        _extract = extract_mentions_dedup if cfg.dedup_texts else extract_mentions
         mentions = self._stage(
             "mentions",
             resume,
-            lambda: extract_mentions(
+            lambda: _extract(
                 docs, self.word2ner, cfg, emit_text=False,
                 lexicon_path=self.lexicon_path,
             ).filter(F.col("mention").isNotNull()),
@@ -283,8 +291,11 @@ class ERPipeline:
 
     def extracted_text(self, docs: DataFrame) -> DataFrame:
         """(url, text) after extraction splice — the byte-identity surface."""
+        _extract = (
+            extract_mentions_dedup if self.cfg.dedup_texts else extract_mentions
+        )
         extracted, _ = split_outputs(
-            extract_mentions(
+            _extract(
                 docs, self.word2ner, self.cfg, lexicon_path=self.lexicon_path
             )
         )
