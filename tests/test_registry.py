@@ -15,9 +15,10 @@ import __spark_entry__ as entry  # noqa: E402
 
 # rows-only by design: greedy maximal-munch extraction is not
 # SQL-expressible; gated by the byte-identity + F1 pytest suite instead.
-# er_incremental (iterative CC + stateful delta fold) is gated by the
-# stronger full-recompute-equality oracle in tests/test_incremental.py.
-ROWS_ONLY = {"er_mentions", "er_clusters", "er_incremental"}
+# er_incremental / er_retract (iterative CC + stateful delta fold /
+# retraction) are gated by the stronger full-recompute-equality oracles
+# in tests/test_incremental.py and tests/test_retract.py.
+ROWS_ONLY = {"er_mentions", "er_clusters", "er_incremental", "er_retract"}
 
 
 def test_priority_window_is_exactly_50():
@@ -54,6 +55,8 @@ def test_window_carries_the_r03_gap_queries():
         "overlap_containment", "cluster_sizes", "weighted_jaccard",
         "blocking_recall", "blocking_recall_tokens", "ann_recall",
         "ann_recall_multi",
+        # round-4 session-3 additions (no driver row yet)
+        "text_dedup_stats", "cluster_canonical",
     } | ROWS_ONLY
     assert must_gate <= set(entry._DRIVER_PRIORITY)
 
