@@ -116,6 +116,26 @@ CHECKS = {
         ("no join at all (union + window)", lambda p:
          "Join" not in p),
     ],
+    # the distinct-text dedup key: ONE aggregate exchange with a
+    # map-side partial (the combiner that keeps the exchange at
+    # ~distinct-texts rows, not corpus rows, at 10^12 docs)
+    "text_dedup_stats": [
+        ("map-side partial agg before the key exchange", lambda p:
+         "partial_" in p),
+        ("single shuffle (one key exchange)", lambda p:
+         p.count("Exchange hashpartitioning") <= 2),
+        ("scan prunes to doc_id+text+lang", lambda p: re.search(
+            r"ReadSchema: struct<doc_id:bigint,text:string,lang:string>",
+            p) is not None),
+    ],
+    # canonical-representative election: window + agg over one
+    # partitioning — no join, no cartesian
+    "cluster_canonical": [
+        ("no join at all", lambda p: "Join" not in p),
+        ("window election present", lambda p: "Window" in p),
+        ("scan prunes to text only", lambda p: re.search(
+            r"ReadSchema: struct<text:string>", p) is not None),
+    ],
 }
 
 
