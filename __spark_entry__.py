@@ -326,6 +326,38 @@ _COMMON_SQL: dict[str, str] = {
         ) t
         GROUP BY o_orderpriority, tile
     """,
+    # X2 — deterministic train/valid/test assignment by md5(doc_id):
+    # hash-based splits are the reproducible alternative to seeded
+    # random sampling (no RNG to disagree across engines or re-runs,
+    # stable under re-partitioning, one narrow projection + groupBy at
+    # any scale). First hex digit: 0-b train (12/16), c-d valid, e-f
+    # test.
+    "hash_split": """
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c'
+                         THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'e'
+                         THEN 'valid'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    # X3 — deterministic stratified sampling: k docs per language,
+    # ordered by md5(doc_id) (a seedless uniform order both engines
+    # agree on; doc_id tie-break). Per-stratum window = one shuffle on
+    # lang; output bounded at k*|langs| regardless of SF.
+    "stratified_sample": """
+        SELECT lang, doc_id, rk
+        FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS STRING)),
+                                               doc_id) AS rk
+            FROM documents
+        ) r
+        WHERE rk <= 5
+    """,
 }
 
 
@@ -1229,6 +1261,42 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             LATERAL VIEW explode(sequence(1, greatest(size(toks) - 4, 1))) s AS i
         ) g
         GROUP BY doc_id
+    """)
+
+
+def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4/RefinedWeb-style corpus-level passage dedup: split each doc
+    # into consecutive token chunks, count each chunk's distinct-doc
+    # frequency across the WHOLE corpus, and report per doc how much
+    # text survives dropping chunks seen in more than DUP_DOCS docs.
+    # 100-TB shape: one narrow scan -> explode -> two hash-partial
+    # aggregations (chunk freq, then per-doc rollup) and an equi-join
+    # on the chunk hash; no window, no driver state. Chunk size 3 at
+    # test scale (tiny vocab); production uses 50-100-token chunks
+    # where exact-match dup chunks are true boilerplate.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH toks AS (
+            SELECT doc_id, split(lower(text), ' ') AS t FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, concat_ws(' ', slice(t, (i-1)*3+1, 3)) AS chunk
+            FROM toks
+            LATERAL VIEW explode(
+                sequence(1, CAST(ceil(size(t)/3.0) AS INT))) s AS i
+        ),
+        freq AS (
+            SELECT chunk, COUNT(DISTINCT doc_id) AS nd
+            FROM chunks GROUP BY chunk
+        )
+        SELECT c.doc_id,
+               COUNT(*) AS total_chunks,
+               CAST(SUM(CASE WHEN f.nd > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_chunks,
+               ROUND(1.0 - SUM(CASE WHEN f.nd > 2 THEN 1 ELSE 0 END)
+                           / CAST(COUNT(*) AS DOUBLE), 6) AS retained_ratio
+        FROM chunks c JOIN freq f ON c.chunk = f.chunk
+        GROUP BY c.doc_id
     """)
 
 
@@ -2709,18 +2777,21 @@ _DRIVER_PRIORITY = [
     "text_dedup_stats", "cluster_canonical",
     # lang-data queries with a single (r03) driver row
     "gender_swap_map", "pronoun_gender_map", "name_lists",
+    # round-4 session-4 additions (curation ops, no driver row yet)
+    "chunk_dedup", "hash_split", "stratified_sample",
     # substantive operator queries (doubly-green, kept in-window)
     "block_pairs_lev", "exact_dedup_fingerprint", "minhash_signature",
     "ngram_jaccard", "ngram_lsh_dedup",
-    "lang_id_heuristic", "doc_fingerprint", "cosine_topk",
-    "cc_components", "ann_lsh", "ann_ivf", "soundex_blocks",
-    "synonym_pivot", "hypernym_closure", "embed_weighted_merge",
+    "lang_id_heuristic", "doc_fingerprint",
+    "cc_components", "ann_lsh", "ann_ivf",
+    "synonym_pivot", "hypernym_closure",
     # rotated out for the round-4 queries (each driver-green in BOTH
     # r02 and r03 + local check_oracle evidence): stopword_filter,
     # token_counts, digit_fold_vocab, prefix_bounds, script_detect,
     # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta,
     # bpe_token_counts, quality_score, simhash_dedup, wikiann_merge,
-    # cluster_hygiene, embedding_near_dup
+    # cluster_hygiene, embedding_near_dup, cosine_topk, soundex_blocks,
+    # embed_weighted_merge
 ]
 
 
@@ -2744,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_score": _q_quality_score,
             "lang_id_heuristic": _q_lang_id,
             "doc_fingerprint": _q_doc_fingerprint,
+            "chunk_dedup": _q_chunk_dedup,
             "cosine_topk": _q_cosine_topk,
             "simhash_dedup": _q_simhash_dedup,
             "cc_components": _q_cc_components,
@@ -2959,6 +3031,34 @@ def oracle_sql() -> dict[str, str]:
                     UNNEST(generate_series(1, greatest(len(toks) - 4, 1))) AS s(i)
                 ) g
                 GROUP BY doc_id
+            """,
+            "chunk_dedup": """
+                WITH toks AS (
+                    SELECT doc_id, string_split(lower(text), ' ') AS t
+                    FROM documents
+                ),
+                chunks AS (
+                    SELECT doc_id,
+                           array_to_string(
+                               list_slice(t, (i-1)*3+1, (i-1)*3+3), ' ')
+                               AS chunk
+                    FROM toks,
+                    UNNEST(generate_series(
+                        1, CAST(ceil(len(t)/3.0) AS INT))) AS s(i)
+                ),
+                freq AS (
+                    SELECT chunk, COUNT(DISTINCT doc_id) AS nd
+                    FROM chunks GROUP BY chunk
+                )
+                SELECT c.doc_id,
+                       COUNT(*) AS total_chunks,
+                       CAST(SUM(CASE WHEN f.nd > 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS dup_chunks,
+                       ROUND(1.0 - SUM(CASE WHEN f.nd > 2 THEN 1 ELSE 0 END)
+                                   / CAST(COUNT(*) AS DOUBLE), 6)
+                           AS retained_ratio
+                FROM chunks c JOIN freq f ON c.chunk = f.chunk
+                GROUP BY c.doc_id
             """,
             "simhash_dedup": f"""
                 SELECT doc_id,

@@ -57,6 +57,8 @@ def test_window_carries_the_r03_gap_queries():
         "ann_recall_multi",
         # round-4 session-3 additions (no driver row yet)
         "text_dedup_stats", "cluster_canonical",
+        # round-4 session-4 additions (no driver row yet)
+        "chunk_dedup", "hash_split", "stratified_sample",
     } | ROWS_ONLY
     assert must_gate <= set(entry._DRIVER_PRIORITY)
 
