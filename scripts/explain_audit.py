@@ -128,6 +128,28 @@ CHECKS = {
             r"ReadSchema: struct<doc_id:bigint,text:string,lang:string>",
             p) is not None),
     ],
+    # corpus-level passage dedup: pruned scan, partial aggs before every
+    # exchange, and the chunk-frequency re-join stays an equi hash join
+    "chunk_dedup": [
+        ("scan prunes to doc_id+text", lambda p: re.search(
+            r"ReadSchema: struct<doc_id:bigint,text:string>", p) is not None),
+        ("freq re-join is equi (no theta)", lambda p:
+         "Join condition: None" in p and "Cartesian" not in p
+         and "NestedLoop" not in p),
+        ("map-side partial agg before exchanges", lambda p:
+         "partial_" in p),
+    ],
+    "hash_split": [
+        ("no join at all", lambda p: "Join" not in p),
+        ("map-side partial agg before the split exchange", lambda p:
+         "partial_" in p),
+    ],
+    "stratified_sample": [
+        ("scan prunes to doc_id+lang", lambda p: re.search(
+            r"ReadSchema: struct<doc_id:bigint,lang:string>", p) is not None),
+        ("single per-stratum window (no join)", lambda p:
+         "Window" in p and "Join" not in p),
+    ],
     # canonical-representative election: window + agg over one
     # partitioning — no join, no cartesian
     "cluster_canonical": [
