@@ -1300,6 +1300,63 @@ def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-substring dedup coverage (the sliding-window analog of
+    # suffix-array substring dedup, Lee et al. 2022): unlike
+    # chunk_dedup's ALIGNED chunks, every token offset emits a k-gram
+    # window, so a span duplicated across docs is caught at any offset.
+    # A window seen in >=2 distinct docs marks its k positions
+    # duplicated; per doc we report the UNION length of those
+    # overlapping [s, s+k-1] intervals (classic interval-union via one
+    # running-max window: same-length intervals make the running max of
+    # ends the running max of starts + k-1, so each interval's new
+    # coverage is LEAST(k, s - prev_start)).
+    # 100-TB shape: narrow scan -> explode (k-times row blowup, the
+    # cost inherent to substring dedup; production hashes the window
+    # with xxhash64 instead of carrying the string) -> partial-agg
+    # window frequency -> equi-join back -> ONE window function
+    # partitioned by doc -> partial-agg rollup. No driver state, no
+    # cartesian; the freq shuffle is the same key-partitioned shape as
+    # exact dedup.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH toks AS (
+            SELECT doc_id, t, size(t) AS n
+            FROM (SELECT doc_id, split(lower(text), ' ') AS t
+                  FROM documents)
+            WHERE size(t) >= 4
+        ),
+        wins AS (
+            SELECT doc_id, n, i AS s, concat_ws(' ', slice(t, i, 4)) AS w
+            FROM toks LATERAL VIEW explode(sequence(1, n - 3)) x AS i
+        ),
+        freq AS (
+            SELECT w, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY w
+        ),
+        dup AS (
+            SELECT wins.doc_id, wins.n, wins.s
+            FROM wins JOIN freq ON wins.w = freq.w
+            WHERE freq.nd >= 2
+        ),
+        cov AS (
+            SELECT doc_id, n, s,
+                   MAX(s) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev
+            FROM dup
+        )
+        SELECT doc_id,
+               MAX(n) AS n_tokens,
+               CAST(SUM(CASE WHEN prev IS NULL THEN 4
+                             ELSE LEAST(4, s - prev) END) AS BIGINT)
+                   AS dup_tokens,
+               ROUND(SUM(CASE WHEN prev IS NULL THEN 4
+                              ELSE LEAST(4, s - prev) END)
+                     / CAST(MAX(n) AS DOUBLE), 6) AS dup_ratio
+        FROM cov GROUP BY doc_id
+    """)
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F12 — brute-force cosine/dot top-k over the embeddings table
     # (similarity-search baseline). Left-fold double sum in array order
@@ -2816,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang_id_heuristic": _q_lang_id,
             "doc_fingerprint": _q_doc_fingerprint,
             "chunk_dedup": _q_chunk_dedup,
+            "dup_span_coverage": _q_dup_span_coverage,
             "cosine_topk": _q_cosine_topk,
             "simhash_dedup": _q_simhash_dedup,
             "cc_components": _q_cc_components,
@@ -3059,6 +3117,45 @@ def oracle_sql() -> dict[str, str]:
                            AS retained_ratio
                 FROM chunks c JOIN freq f ON c.chunk = f.chunk
                 GROUP BY c.doc_id
+            """,
+            "dup_span_coverage": """
+                WITH toks AS (
+                    SELECT doc_id, t, len(t) AS n
+                    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                          FROM documents)
+                    WHERE len(t) >= 4
+                ),
+                wins AS (
+                    SELECT doc_id, n, i AS s,
+                           array_to_string(array_slice(t, i, i + 3), ' ') AS w
+                    FROM toks,
+                    UNNEST(generate_series(1, n - 3)) AS u(i)
+                ),
+                freq AS (
+                    SELECT w, COUNT(DISTINCT doc_id) AS nd
+                    FROM wins GROUP BY w
+                ),
+                dup AS (
+                    SELECT wins.doc_id, wins.n, wins.s
+                    FROM wins JOIN freq ON wins.w = freq.w
+                    WHERE freq.nd >= 2
+                ),
+                cov AS (
+                    SELECT doc_id, n, s,
+                           MAX(s) OVER (PARTITION BY doc_id ORDER BY s
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev
+                    FROM dup
+                )
+                SELECT doc_id,
+                       MAX(n) AS n_tokens,
+                       CAST(SUM(CASE WHEN prev IS NULL THEN 4
+                                     ELSE LEAST(4, s - prev) END) AS BIGINT)
+                           AS dup_tokens,
+                       ROUND(SUM(CASE WHEN prev IS NULL THEN 4
+                                      ELSE LEAST(4, s - prev) END)
+                             / CAST(MAX(n) AS DOUBLE), 6) AS dup_ratio
+                FROM cov GROUP BY doc_id
             """,
             "simhash_dedup": f"""
                 SELECT doc_id,

@@ -139,6 +139,16 @@ CHECKS = {
         ("map-side partial agg before exchanges", lambda p:
          "partial_" in p),
     ],
+    "dup_span_coverage": [
+        ("scan prunes to doc_id+text", lambda p: re.search(
+            r"ReadSchema: struct<doc_id:bigint,text:string>", p) is not None),
+        ("freq re-join is equi (no theta)", lambda p:
+         "Cartesian" not in p and "NestedLoop" not in p),
+        ("map-side partial agg before exchanges", lambda p:
+         "partial_" in p),
+        ("exactly one window pass for the interval union", lambda p:
+         len(re.findall(r"\n\(\d+\) Window\b", p)) == 1),
+    ],
     "hash_split": [
         ("no join at all", lambda p: "Join" not in p),
         ("map-side partial agg before the split exchange", lambda p:
