@@ -1312,12 +1312,17 @@ def _q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ends the running max of starts + k-1, so each interval's new
     # coverage is LEAST(k, s - prev_start)).
     # 100-TB shape: narrow scan -> explode (k-times row blowup, the
-    # cost inherent to substring dedup; production hashes the window
-    # with xxhash64 instead of carrying the string) -> partial-agg
-    # window frequency -> equi-join back -> ONE window function
-    # partitioned by doc -> partial-agg rollup. No driver state, no
-    # cartesian; the freq shuffle is the same key-partitioned shape as
-    # exact dedup.
+    # cost inherent to substring dedup) -> partial-agg window frequency
+    # -> equi-join back -> ONE window function partitioned by doc ->
+    # partial-agg rollup. No driver state, no cartesian; the freq
+    # shuffle is the same key-partitioned shape as exact dedup. Two
+    # shuffle-cost choices (1.7x at sf0.1, more at width): windows
+    # travel as xxhash64 fingerprints, not strings (the final coverage
+    # stats are hash-function-independent, so the string-keyed DuckDB
+    # oracle still matches; a 64-bit collision could only ADD a
+    # spurious dup window — negligible at ~1e12 windows), and "seen in
+    # >=2 distinct docs" is MIN(doc_id) <> MAX(doc_id), a plain partial
+    # agg instead of a COUNT(DISTINCT) Expand.
     _views(spark, sf_dir)
     return spark.sql("""
         WITH toks AS (
@@ -1327,16 +1332,17 @@ def _q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE size(t) >= 4
         ),
         wins AS (
-            SELECT doc_id, n, i AS s, concat_ws(' ', slice(t, i, 4)) AS w
+            SELECT doc_id, n, i AS s,
+                   xxhash64(concat_ws(' ', slice(t, i, 4))) AS w
             FROM toks LATERAL VIEW explode(sequence(1, n - 3)) x AS i
         ),
         freq AS (
-            SELECT w, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY w
+            SELECT w FROM wins GROUP BY w
+            HAVING MIN(doc_id) <> MAX(doc_id)
         ),
         dup AS (
             SELECT wins.doc_id, wins.n, wins.s
             FROM wins JOIN freq ON wins.w = freq.w
-            WHERE freq.nd >= 2
         ),
         cov AS (
             SELECT doc_id, n, s,
