@@ -2842,10 +2842,12 @@ _DRIVER_PRIORITY = [
     "gender_swap_map", "pronoun_gender_map", "name_lists",
     # round-4 session-4 additions (curation ops, no driver row yet)
     "chunk_dedup", "hash_split", "stratified_sample",
+    # round-4 session-5 addition (substring-dedup coverage, no driver row)
+    "dup_span_coverage",
     # substantive operator queries (doubly-green, kept in-window)
     "block_pairs_lev", "exact_dedup_fingerprint", "minhash_signature",
     "ngram_jaccard", "ngram_lsh_dedup",
-    "lang_id_heuristic", "doc_fingerprint",
+    "lang_id_heuristic",
     "cc_components", "ann_lsh", "ann_ivf",
     "synonym_pivot", "hypernym_closure",
     # rotated out for the round-4 queries (each driver-green in BOTH
@@ -2854,7 +2856,7 @@ _DRIVER_PRIORITY = [
     # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta,
     # bpe_token_counts, quality_score, simhash_dedup, wikiann_merge,
     # cluster_hygiene, embedding_near_dup, cosine_topk, soundex_blocks,
-    # embed_weighted_merge
+    # embed_weighted_merge, doc_fingerprint
 ]
 
 
