@@ -1363,6 +1363,75 @@ def _q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# Deterministic messy-URL synthesis, shared verbatim by the Spark query
+# and the DuckDB oracle (the driver's documents table has no url column
+# and driver tables are the only sanctioned oracle inputs, so the
+# fixture is generated in-SQL — the operator under test is the
+# canonicalization, not the synthesis). The four variants exercise every
+# SURT rule: www + mixed-case host + default port + trailing slash +
+# tracking param; uppercase scheme + fragment; userinfo + non-default
+# port; session-id param. Every doc_id % 4 = 0 doc also emits a SECOND,
+# differently-messy alias of the same resource (UNION ALL branch), so
+# the per-host alias-collapse count is deterministic and nonzero.
+_SURT_URL_SYNTH = """
+    SELECT doc_id, lang, url FROM (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN doc_id % 4 = 0 THEN concat(
+                     'https://www.', source, '.Example.COM:443/', lang,
+                     '/', CAST(doc_id AS STRING), '/?utm_source=x&b=2&a=1')
+                 WHEN doc_id % 4 = 1 THEN concat(
+                     'HTTP://', source, '.example.com/', lang, '/',
+                     CAST(doc_id AS STRING), '?a=1&b=2#frag')
+                 WHEN doc_id % 4 = 2 THEN concat(
+                     'https://crawler@', source, '.EXAMPLE.com:8080/',
+                     lang, '/', CAST(doc_id AS STRING), '/')
+                 ELSE concat(
+                     'https://', source, '.example.com/', lang, '/',
+                     CAST(doc_id AS STRING), '?jsessionid=',
+                     CAST(doc_id AS STRING), '&q=', lang)
+               END AS url
+        FROM documents
+        UNION ALL
+        SELECT doc_id, lang,
+               concat('HTTP://www.', source, '.example.com:80/', lang,
+                      '/', CAST(doc_id AS STRING),
+                      '/?b=2&a=1&utm_medium=m#top') AS url
+        FROM documents WHERE doc_id % 4 = 0
+    )
+"""
+
+
+def _q_surt_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURT URL canonicalization (operators/urls.py) + per-host rollup —
+    # the Common-Crawl-index view of a crawl: canonical keys cluster by
+    # reversed registered domain, alias forms (www/case/port/fragment/
+    # tracking-param/param-order variants) collapse to one key.
+    # 100-TB shape: the canonicalization is ONE narrow JVM-side
+    # projection (no Python, no shuffle — pinned by
+    # tests/test_urls.py), followed by a single host-keyed partial-agg
+    # exchange; n_alias_collapsed = distinct raw URLs minus distinct
+    # canonical keys per host.
+    from kawa_spark.operators.urls import with_surt
+
+    _views(spark, sf_dir)
+    urls = spark.sql(_SURT_URL_SYNTH)
+    return (
+        with_surt(urls)
+        .withColumn("host", F.substring_index(F.col("surt"), ")", 1))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("surt").alias("n_surts"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.countDistinct("url") - F.countDistinct("surt")).alias(
+                "n_alias_collapsed"
+            ),
+        )
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F12 — brute-force cosine/dot top-k over the embeddings table
     # (similarity-search baseline). Left-fold double sum in array order
@@ -2842,12 +2911,12 @@ _DRIVER_PRIORITY = [
     "gender_swap_map", "pronoun_gender_map", "name_lists",
     # round-4 session-4 additions (curation ops, no driver row yet)
     "chunk_dedup", "hash_split", "stratified_sample",
-    # round-4 session-5 addition (substring-dedup coverage, no driver row)
-    "dup_span_coverage",
+    # round-4 session-5 additions (substring-dedup coverage + SURT URL
+    # canonicalization, no driver row yet)
+    "dup_span_coverage", "surt_host_stats",
     # substantive operator queries (doubly-green, kept in-window)
     "block_pairs_lev", "exact_dedup_fingerprint", "minhash_signature",
     "ngram_jaccard", "ngram_lsh_dedup",
-    "lang_id_heuristic",
     "cc_components", "ann_lsh", "ann_ivf",
     "synonym_pivot", "hypernym_closure",
     # rotated out for the round-4 queries (each driver-green in BOTH
@@ -2856,7 +2925,7 @@ _DRIVER_PRIORITY = [
     # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta,
     # bpe_token_counts, quality_score, simhash_dedup, wikiann_merge,
     # cluster_hygiene, embedding_near_dup, cosine_topk, soundex_blocks,
-    # embed_weighted_merge, doc_fingerprint
+    # embed_weighted_merge, doc_fingerprint, lang_id_heuristic
 ]
 
 
@@ -2882,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_fingerprint": _q_doc_fingerprint,
             "chunk_dedup": _q_chunk_dedup,
             "dup_span_coverage": _q_dup_span_coverage,
+            "surt_host_stats": _q_surt_host_stats,
             "cosine_topk": _q_cosine_topk,
             "simhash_dedup": _q_simhash_dedup,
             "cc_components": _q_cc_components,
@@ -3164,6 +3234,57 @@ def oracle_sql() -> dict[str, str]:
                                       ELSE LEAST(4, s - prev) END)
                              / CAST(MAX(n) AS DOUBLE), 6) AS dup_ratio
                 FROM cov GROUP BY doc_id
+            """,
+            # SURT re-expressed in DuckDB list/lambda SQL over the same
+            # in-SQL URL synthesis (_SURT_URL_SYNTH is dialect-neutral)
+            "surt_host_stats": f"""
+                WITH urls AS ({_SURT_URL_SYNTH}),
+                norm AS (
+                    SELECT doc_id, lang, url,
+                           regexp_replace(regexp_replace(
+                               split_part(lower(trim(url)), '#', 1),
+                               '^[a-z][a-z0-9+.-]*://', ''),
+                               '^[^/@?#]*@', '') AS u
+                    FROM urls
+                ),
+                parts AS (
+                    SELECT doc_id, lang, url,
+                           split_part(split_part(u, '/', 1), '?', 1)
+                               AS authority,
+                           substr(u, length(split_part(
+                               split_part(u, '/', 1), '?', 1)) + 1) AS rest
+                    FROM norm
+                ),
+                q AS (
+                    SELECT doc_id, lang, url, authority, rest,
+                           array_to_string(list_sort(list_filter(
+                               string_split(split_part(rest, '?', 2), '&'),
+                               x -> x <> '' AND NOT regexp_matches(x,
+                                   '^(jsessionid|phpsessid|sid|fbclid|gclid|utm_[a-z]*)='
+                               ))), '&') AS qs
+                    FROM parts
+                ),
+                surts AS (
+                    SELECT doc_id, lang, url,
+                           array_to_string(list_reverse(string_split(
+                               regexp_replace(
+                                   split_part(authority, ':', 1),
+                                   '^www\\.', ''), '.')), ',')
+                           || ')'
+                           || regexp_replace(
+                                  split_part(rest, '?', 1), '/+$', '')
+                           || CASE WHEN contains(rest, '?') AND qs <> ''
+                                   THEN '?' || qs ELSE '' END AS surt
+                    FROM q
+                )
+                SELECT split_part(surt, ')', 1) AS host,
+                       COUNT(*) AS n_docs,
+                       COUNT(DISTINCT url) AS n_urls,
+                       COUNT(DISTINCT surt) AS n_surts,
+                       COUNT(DISTINCT lang) AS n_langs,
+                       COUNT(DISTINCT url) - COUNT(DISTINCT surt)
+                           AS n_alias_collapsed
+                FROM surts GROUP BY 1
             """,
             "simhash_dedup": f"""
                 SELECT doc_id,

@@ -149,6 +149,17 @@ CHECKS = {
         ("exactly one window pass for the interval union", lambda p:
          len(re.findall(r"\n\(\d+\) Window\b", p)) == 1),
     ],
+    "surt_host_stats": [
+        ("scan prunes to doc_id+lang+source", lambda p: re.search(
+            r"ReadSchema: struct<doc_id:bigint,lang:string,source:string>",
+            p) is not None),
+        ("no join (canonicalization is a projection)", lambda p:
+         "Join" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("map-side partial agg before the host exchange", lambda p:
+         "partial_" in p),
+    ],
     "hash_split": [
         ("no join at all", lambda p: "Join" not in p),
         ("map-side partial agg before the split exchange", lambda p:

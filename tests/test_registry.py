@@ -59,8 +59,8 @@ def test_window_carries_the_r03_gap_queries():
         "text_dedup_stats", "cluster_canonical",
         # round-4 session-4 additions (no driver row yet)
         "chunk_dedup", "hash_split", "stratified_sample",
-        # round-4 session-5 addition (no driver row yet)
-        "dup_span_coverage",
+        # round-4 session-5 additions (no driver row yet)
+        "dup_span_coverage", "surt_host_stats",
     } | ROWS_ONLY
     assert must_gate <= set(entry._DRIVER_PRIORITY)
 
