@@ -16,6 +16,13 @@ class PipelineConfig:
     # Changes the physical plan only; the mention row set is identical
     # (tests/test_extract_dedup.py).
     dedup_texts: bool = False
+    # crawl-alias dedup: canonicalize urls to SURT keys before
+    # extraction and keep one page per key (latest warc_ts wins; see
+    # operators.urls.dedup_canonical). Opt in when the crawl carries
+    # scheme/www/port/tracking-param alias re-crawls of one resource.
+    # NOTE: applies to run() clustering only — extracted_text() stays
+    # per-url (the byte-identity contract is keyed by raw url).
+    canonical_urls: bool = False
     # matcher
     connector: str = "_"
     compound_word_step: int = 3

@@ -100,3 +100,27 @@ def surt_key(url: Column) -> Column:
 def with_surt(df, url_col: str = "url", out_col: str = "surt"):
     """Add a SURT key column (one narrow codegen projection)."""
     return df.withColumn(out_col, surt_key(F.col(url_col)))
+
+
+def dedup_canonical(df, url_col: str = "url", ts_col: str = "warc_ts"):
+    """Crawl-alias dedup: keep ONE page per SURT key — the latest crawl
+    wins (max ``ts_col``), bytewise-max URL breaks timestamp ties, so
+    the survivor set is deterministic under any partitioning.
+
+    Scale shape: winner election runs on a NARROW (surt, ts, url)
+    projection — one partial-agg max(struct) shuffle of three small
+    columns — and a left-semi equi-join on (url, ts) fans the winners
+    back to the wide rows, so the heavy columns (html) cross the wire
+    once in the join and never through the aggregate.
+
+    Precondition: (url, ts) identifies a crawl record (the WARC
+    contract); exact-duplicate rows are untouched — they are upstream
+    ingest bugs, not URL aliases.
+    """
+    keyed = with_surt(df.select(url_col, ts_col), url_col)
+    winners = (
+        keyed.groupBy("surt")
+        .agg(F.max(F.struct(ts_col, url_col)).alias("w"))
+        .select(f"w.{ts_col}", f"w.{url_col}")
+    )
+    return df.join(winners, [url_col, ts_col], "left_semi")

@@ -29,6 +29,7 @@ from .operators.cc import (
     assign_surface_clusters,
     connected_components,
 )
+from .operators.urls import dedup_canonical
 from .operators.extract import (
     extract_mentions,
     extract_mentions_dedup,
@@ -209,6 +210,12 @@ class ERPipeline:
 
     def run(self, docs: DataFrame, resume: bool = False) -> DataFrame:
         cfg = self.cfg
+        if cfg.canonical_urls:
+            # drop crawl-alias re-crawls before any heavy stage: one
+            # narrow winner-election shuffle + a semi-join (see
+            # operators/urls.dedup_canonical); config-fingerprinted so
+            # resume manifests distinguish deduped runs
+            docs = dedup_canonical(docs)
         if self.out_dir:
             # reliable checkpoints for the CC loop (see operators/cc._ckpt):
             # localCheckpoint blocks die with an executor; with a durable
