@@ -2882,6 +2882,124 @@ _CLUSTER_CANONICAL_ORACLE = """
 """
 
 
+# Fellegi-Sunter comparison space shared by the Spark query and the
+# DuckDB oracle: candidate pairs within split_part(p_name,' ',2) blocks
+# (the block_pairs_lev blocking), four agreement fields in sorted name
+# order. The m/u constants are a committed EM snapshot (fit_fs_weights
+# at sf0.01, n_iter=100, see kawa_spark/operators/linkage.py); the
+# driver query applies them as FIXED literals so both engines compute
+# the identical per-pattern decision weight — the EM itself is gated by
+# tests/test_linkage.py (parameter recovery + determinism).
+_FS_FIELDS = ["brand_eq", "name_close", "size_eq", "type_eq"]
+_FS_M = [0.112, 0.1172, 0.1373, 0.7024]
+_FS_U = [0.0398, 0.1001, 0.0196, 0.165]
+
+
+def _fs_weight_terms() -> list[tuple[float, float]]:
+    import math as _m
+
+    return [
+        (_m.log2(m / u), _m.log2((1.0 - m) / (1.0 - u)))
+        for m, u in zip(_FS_M, _FS_U)
+    ]
+
+
+_FS_PAIRS_SQL = """
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.p_brand AS brand_a, b.p_brand AS brand_b,
+           a.p_type AS type_a, b.p_type AS type_b,
+           a.p_size AS size_a, b.p_size AS size_b
+    FROM part a JOIN part b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_name < b.p_name
+"""
+
+
+def _q_fs_pattern_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fellegi-Sunter scoring plumbing end-to-end: blocked pairs ->
+    # 0/1 agreement vector (pure column expr) -> bounded (<=2^4 rows
+    # at ANY scale) pattern aggregate -> per-pattern log2 decision
+    # weight from the committed m/u snapshot, folded to literals
+    # (codegen arithmetic; no UDF, no join). At 10^12 docs this is one
+    # partial-agg shuffle over the already-bounded pair stream.
+    from kawa_spark.operators.linkage import agreement_vectors, fs_weight_expr
+
+    _views(spark, sf_dir)
+    pairs = spark.sql(_FS_PAIRS_SQL)
+    vec = agreement_vectors(
+        pairs,
+        {
+            "brand_eq": F.col("brand_a") == F.col("brand_b"),
+            "type_eq": F.col("type_a") == F.col("type_b"),
+            "name_close": F.levenshtein("name_a", "name_b") <= 2,
+            "size_eq": F.col("size_a") == F.col("size_b"),
+        },
+    )
+    return (
+        vec.groupBy(*_FS_FIELDS, "pattern")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn(
+            "fs_weight", F.round(fs_weight_expr(_FS_FIELDS, _FS_M, _FS_U), 4)
+        )
+        .select("pattern", "n_pairs", "fs_weight")
+    )
+
+
+_FS_ORACLE_TEMPLATE = """
+    WITH pairs AS ({pairs}),
+    vec AS (
+        SELECT CAST(brand_a = brand_b AS INT) AS brand_eq,
+               CAST(levenshtein(name_a, name_b) <= 2 AS INT) AS name_close,
+               CAST(size_a = size_b AS INT) AS size_eq,
+               CAST(type_a = type_b AS INT) AS type_eq
+        FROM pairs
+    )
+    SELECT concat(brand_eq, name_close, size_eq, type_eq) AS pattern,
+           COUNT(*) AS n_pairs,
+           ROUND({weight}, 4) AS fs_weight
+    FROM vec
+    GROUP BY brand_eq, name_close, size_eq, type_eq
+"""
+
+
+def _fs_oracle_sql() -> str:
+    terms = _fs_weight_terms()
+    # CAST: DuckDB types bare float literals as DECIMAL; the Spark side
+    # sums doubles, so force double on both for bit-identical rounding
+    weight = " + ".join(
+        f"(CASE WHEN {f} = 1 THEN CAST({wa!r} AS DOUBLE)"
+        f" ELSE CAST({wd!r} AS DOUBLE) END)"
+        for f, (wa, wd) in zip(_FS_FIELDS, terms)
+    )
+    return _FS_ORACLE_TEMPLATE.format(pairs=_FS_PAIRS_SQL, weight=weight)
+
+
+def _q_constrained_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cannot-link constrained clustering + violation audit: negative
+    # rules (adjudicated-distinct pairs) drop their direct edges before
+    # CC, and the audit reports which constraints are still violated
+    # through indirect paths — the over-merge monitoring table at
+    # 10^12 docs. Oracle: recursive-CTE CC on the filtered edge set.
+    from kawa_spark.operators.cc import (
+        constrained_components,
+        constraint_violations,
+    )
+
+    _views(spark, sf_dir)
+    edges = spark.sql("""
+        SELECT DISTINCT concat('b:', p_brand) AS u, concat('t:', p_type) AS v
+        FROM part WHERE p_size <= 3
+    """)
+    cl = spark.sql("""
+        SELECT DISTINCT concat('b:', p_brand) AS u, concat('t:', p_type) AS v
+        FROM part WHERE p_size = 1
+    """)
+    comps = constrained_components(edges, cl)
+    return constraint_violations(comps, cl).select(
+        "cl_u", "cl_v", "comp_u", "comp_v", "violated"
+    )
+
+
 # The driver's correctness gate runs exactly the FIRST 50 entries of
 # queries() (observed r02/r03 behavior; README "driver-gate cap"). This
 # list pins which queries land in that window each round: queries that
@@ -2914,13 +3032,16 @@ _DRIVER_PRIORITY = [
     # round-4 session-5 additions (substring-dedup coverage + SURT URL
     # canonicalization, no driver row yet)
     "dup_span_coverage", "surt_host_stats",
+    # round-4 session-6 additions (Fellegi-Sunter pattern weights +
+    # cannot-link constrained clustering, no driver row yet)
+    "fs_pattern_weights", "constrained_cc",
     # substantive operator queries (doubly-green, kept in-window)
     "block_pairs_lev", "exact_dedup_fingerprint", "minhash_signature",
     "ngram_jaccard", "ngram_lsh_dedup",
     "cc_components", "ann_lsh", "ann_ivf",
-    "synonym_pivot", "hypernym_closure",
     # rotated out for the round-4 queries (each driver-green in BOTH
-    # r02 and r03 + local check_oracle evidence): stopword_filter,
+    # r02 and r03 + local check_oracle evidence): synonym_pivot,
+    # hypernym_closure (rotated by session 6), stopword_filter,
     # token_counts, digit_fold_vocab, prefix_bounds, script_detect,
     # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta,
     # bpe_token_counts, quality_score, simhash_dedup, wikiann_merge,
@@ -3000,6 +3121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "blocking_recall_tokens": _q_blocking_recall_tokens,
             "ann_recall": _q_ann_recall,
             "ann_recall_multi": _q_ann_recall_multi,
+            "fs_pattern_weights": _q_fs_pattern_weights,
+            "constrained_cc": _q_constrained_cc,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -3305,6 +3428,39 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY doc_id, b
                 ) votes
                 GROUP BY doc_id
+            """,
+            "fs_pattern_weights": _fs_oracle_sql(),
+            "constrained_cc": """
+                WITH RECURSIVE
+                edges AS (SELECT DISTINCT concat('b:', p_brand) AS u,
+                                          concat('t:', p_type) AS v
+                          FROM part WHERE p_size <= 3),
+                cl AS (SELECT DISTINCT concat('b:', p_brand) AS u,
+                                       concat('t:', p_type) AS v
+                       FROM part WHERE p_size = 1),
+                kept AS (SELECT e.u, e.v FROM edges e
+                         WHERE NOT EXISTS (SELECT 1 FROM cl
+                                           WHERE cl.u = e.u AND cl.v = e.v)),
+                nodes AS (SELECT u AS node FROM kept
+                          UNION SELECT v FROM kept),
+                sym AS (SELECT u, v FROM kept
+                        UNION SELECT v AS u, u AS v FROM kept),
+                reach AS (
+                    SELECT node, node AS r FROM nodes
+                    UNION
+                    SELECT s.u AS node, reach.r
+                    FROM sym s JOIN reach ON s.v = reach.node
+                ),
+                comp AS (SELECT node, MIN(r) AS component
+                         FROM reach GROUP BY node)
+                SELECT cl.u AS cl_u, cl.v AS cl_v,
+                       COALESCE(cu.component, cl.u) AS comp_u,
+                       COALESCE(cv.component, cl.v) AS comp_v,
+                       COALESCE(cu.component, cl.u)
+                           = COALESCE(cv.component, cl.v) AS violated
+                FROM cl
+                LEFT JOIN comp cu ON cl.u = cu.node
+                LEFT JOIN comp cv ON cl.v = cv.node
             """,
             "cc_components": """
                 WITH RECURSIVE

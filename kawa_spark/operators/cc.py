@@ -138,3 +138,175 @@ def assign_surface_clusters(
     return mentions.join(surf, "norm", "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", "mention_id")
     )
+
+
+def _cl_norm(cl: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
+    """Orient cannot-link pairs small->large so either edge orientation
+    matches a single canonical key."""
+    return cl.select(
+        F.least(F.col(a), F.col(b)).alias("cl_u"),
+        F.greatest(F.col(a), F.col(b)).alias("cl_v"),
+    ).distinct()
+
+
+def constrained_components(
+    edges: DataFrame,
+    cannot_link: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    cl_src: str = "u",
+    cl_dst: str = "v",
+    max_iter: int = 20,
+    reliable_checkpoints: bool = False,
+) -> DataFrame:
+    """Connected components with cannot-link direct edges removed.
+
+    A cannot-link pair (a, b) asserts a and b are distinct entities
+    (negative rule / manual adjudication). This drops every DIRECT edge
+    matching a constraint before clustering; pairs can still end up
+    co-clustered through indirect paths — that residue is what
+    :func:`constraint_violations` audits and :func:`repair_components`
+    resolves. Scale shape: one broadcast-able anti-join (the constraint
+    list is human-curated, i.e. tiny) in front of the unchanged
+    large-star/small-star loop."""
+    cl = _cl_norm(cannot_link, cl_src, cl_dst)
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    )
+    kept = e.join(
+        F.broadcast(cl),
+        (e["u"] == cl["cl_u"]) & (e["v"] == cl["cl_v"]),
+        "left_anti",
+    )
+    return connected_components(
+        kept, src="u", dst="v", max_iter=max_iter,
+        reliable_checkpoints=reliable_checkpoints,
+    )
+
+
+def constraint_violations(
+    components: DataFrame,
+    cannot_link: DataFrame,
+    cl_src: str = "u",
+    cl_dst: str = "v",
+) -> DataFrame:
+    """Audit: for every cannot-link pair, both endpoints' components and
+    whether they were (transitively) co-clustered anyway. The monitoring
+    table you alert on at 10^12 docs — a violated constraint means an
+    indirect path over-merged two adjudicated-distinct entities.
+    Output: (cl_u, cl_v, comp_u, comp_v, violated). Two joins against
+    the components table; singletons fall back to their own id."""
+    cl = _cl_norm(cannot_link, cl_src, cl_dst)
+    cu = components.select(
+        F.col("node").alias("cl_u"), F.col("component").alias("comp_u")
+    )
+    cv = components.select(
+        F.col("node").alias("cl_v"), F.col("component").alias("comp_v")
+    )
+    return (
+        cl.join(cu, "cl_u", "left")
+        .join(cv, "cl_v", "left")
+        .withColumn("comp_u", F.coalesce("comp_u", "cl_u"))
+        .withColumn("comp_v", F.coalesce("comp_v", "cl_v"))
+        .withColumn("violated", F.col("comp_u") == F.col("comp_v"))
+        .select("cl_u", "cl_v", "comp_u", "comp_v", "violated")
+    )
+
+
+def repair_components(
+    edges: DataFrame,
+    components: DataFrame,
+    cannot_link: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    score: str | None = None,
+) -> DataFrame:
+    """Split components that violate cannot-link constraints.
+
+    Greedy constrained agglomeration per violated component: edges are
+    replayed in descending score order (ties broken by (u, v)), and a
+    union is applied only if the merged group would contain no
+    cannot-link pair — the standard greedy repair for negative rules.
+    Without a score column every edge scores 1.0 (pure tie-break order:
+    deterministic).
+
+    Scale shape: only VIOLATED components are repaired (everything else
+    passes through untouched), and post-blocking components are small
+    (cluster_hygiene monitors the tail), so the per-component
+    ``applyInPandas`` sees bounded groups; the constraint list rides
+    along via the same component-keyed shuffle, never the driver.
+    Output: (node, component) with repaired sub-components keyed by
+    their lexicographic minimum member, disjoint from untouched ones.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    cl = _cl_norm(cannot_link, src, dst)
+    viol = (
+        constraint_violations(components, cannot_link, src, dst)
+        .filter(F.col("violated"))
+        .select(F.col("comp_u").alias("component"))
+        .distinct()
+    )
+    bad = components.join(F.broadcast(viol), "component", "inner")
+    good = components.join(F.broadcast(viol), "component", "left_anti")
+
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+        (F.col(score) if score else F.lit(1.0)).cast("double").alias("w"),
+        F.lit("e").alias("kind"),
+    )
+    cle = cl.select(
+        F.col("cl_u").alias("u"), F.col("cl_v").alias("v"),
+        F.lit(0.0).alias("w"), F.lit("c").alias("kind"),
+    )
+    node_comp = bad.select(F.col("node").alias("u"), "component")
+    tagged = (
+        e.unionByName(cle)
+        .join(node_comp, "u", "inner")  # route rows to their component
+        .select("component", "u", "v", "w", "kind")
+    )
+
+    out_schema = StructType(
+        [StructField("node", StringType()), StructField("component", StringType())]
+    )
+
+    def _repair(pdf):
+        import pandas as pd
+
+        nodes = set(pdf["u"]) | set(pdf["v"])
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        partners: dict[str, set] = {n: set() for n in nodes}
+        members: dict[str, set] = {n: {n} for n in nodes}
+        cl_rows = pdf[pdf["kind"] == "c"]
+        for a, b in zip(cl_rows["u"], cl_rows["v"]):
+            partners[find(a)].add(b)
+            partners[find(b)].add(a)
+        e_rows = pdf[pdf["kind"] == "e"].sort_values(
+            ["w", "u", "v"], ascending=[False, True, True]
+        )
+        for a, b in zip(e_rows["u"], e_rows["v"]):
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if partners[ra] & members[rb] or partners[rb] & members[ra]:
+                continue  # merge would co-cluster a cannot-link pair
+            # union by size, fold member/partner sets into the winner
+            if len(members[ra]) < len(members[rb]):
+                ra, rb = rb, ra
+            parent[rb] = ra
+            members[ra] |= members[rb]
+            partners[ra] |= partners[rb]
+        comp = pd.Series({n: min(members[find(n)]) for n in sorted(nodes)})
+        return pd.DataFrame({"node": comp.index, "component": comp.values})
+
+    repaired = tagged.groupBy("component").applyInPandas(_repair, out_schema)
+    return good.select("node", "component").unionByName(repaired)

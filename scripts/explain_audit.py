@@ -171,6 +171,20 @@ CHECKS = {
         ("single per-stratum window (no join)", lambda p:
          "Window" in p and "Join" not in p),
     ],
+    # Fellegi-Sunter pattern weights: blocked equi self-join, bounded
+    # (<=2^K-row) aggregate with a map-side partial, weights folded to
+    # codegen literals — never a UDF or a weight-table join
+    "fs_pattern_weights": [
+        ("block join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("map-side partial agg before the pattern exchange", lambda p:
+         "partial_" in p),
+        ("no Python in the plan (weights are literals)", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("scan prunes to the 4 compared columns", lambda p: re.search(
+            r"ReadSchema: struct<p_name:string,p_brand:string,"
+            r"p_type:string,p_size:int>", p) is not None),
+    ],
     # canonical-representative election: window + agg over one
     # partitioning — no join, no cartesian
     "cluster_canonical": [

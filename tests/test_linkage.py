@@ -1,0 +1,200 @@
+"""Fellegi-Sunter linkage + cannot-link constrained clustering."""
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kawa_spark.operators.linkage import (
+    FSWeights,
+    agreement_vectors,
+    fellegi_sunter_em,
+    fit_fs_weights,
+    fs_pair_weights,
+    fs_weight_expr,
+    pattern_counts,
+)
+from kawa_spark.operators.cc import (
+    connected_components,
+    constrained_components,
+    constraint_violations,
+    repair_components,
+)
+
+
+def _expected_counts(m, u, p, total):
+    """Exact expected pattern counts under the FS independence model."""
+    K = len(m)
+    out = []
+    for gamma in itertools.product([0, 1], repeat=K):
+        pm, pu = p, 1.0 - p
+        for k in range(K):
+            pm *= m[k] if gamma[k] else 1.0 - m[k]
+            pu *= u[k] if gamma[k] else 1.0 - u[k]
+        out.append(("".join(map(str, gamma)), round(total * (pm + pu))))
+    return out
+
+
+class TestEM:
+    def test_recovers_true_parameters(self):
+        m, u, p = [0.92, 0.85, 0.95], [0.08, 0.2, 0.02], 0.15
+        counts = _expected_counts(m, u, p, 1_000_000)
+        w = fellegi_sunter_em(counts, ["a", "b", "c"], n_iter=200)
+        for k in range(3):
+            assert abs(w.m[k] - m[k]) < 0.03, (k, w.m)
+            assert abs(w.u[k] - u[k]) < 0.03, (k, w.u)
+        assert abs(w.p_match - p) < 0.03
+
+    def test_deterministic(self):
+        counts = _expected_counts([0.9, 0.8], [0.1, 0.3], 0.2, 10_000)
+        w1 = fellegi_sunter_em(counts, ["a", "b"])
+        w2 = fellegi_sunter_em(counts, ["a", "b"])
+        assert w1 == w2
+
+    def test_rejects_bad_pattern_length(self):
+        with pytest.raises(ValueError):
+            fellegi_sunter_em([("01", 5)], ["a", "b", "c"])
+
+    def test_rejects_empty(self):
+        with pytest.raises(ValueError):
+            fellegi_sunter_em([], ["a"])
+
+    def test_agree_weight_positive_for_informative_field(self):
+        counts = _expected_counts([0.95], [0.05], 0.1, 100_000)
+        w = fellegi_sunter_em(counts, ["a"], n_iter=100)
+        assert w.agree_weight(0) > 0 > w.disagree_weight(0)
+
+
+class TestSparkSide:
+    def _vectors(self, spark):
+        rows = [
+            ("x1", "y1", "Acme", "Acme", 10, 10),
+            ("x2", "y2", "Acme", "Acme", 10, 12),
+            ("x3", "y3", "Acme", "Bolt", 10, 10),
+            ("x4", "y4", "Acme", "Bolt", 10, 12),
+            ("x5", "y5", "Acme", "Acme", 10, 10),
+        ]
+        df = spark.createDataFrame(
+            rows, "id_a string, id_b string, na string, nb string, sa int, sb int"
+        )
+        return agreement_vectors(
+            df,
+            {
+                "name_eq": F.col("na") == F.col("nb"),
+                "size_eq": F.col("sa") == F.col("sb"),
+            },
+        )
+
+    def test_pattern_encoding_sorted_field_order(self, spark):
+        vec = self._vectors(spark)
+        got = {r["id_a"]: r["pattern"] for r in vec.collect()}
+        # sorted field order: name_eq then size_eq
+        assert got == {"x1": "11", "x2": "10", "x3": "01", "x4": "00", "x5": "11"}
+
+    def test_pattern_counts_bounded(self, spark):
+        pc = {r["pattern"]: r["n_pairs"] for r in pattern_counts(self._vectors(spark)).collect()}
+        assert pc == {"11": 2, "10": 1, "01": 1, "00": 1}
+
+    def test_weight_expr_matches_python(self, spark):
+        vec = self._vectors(spark)
+        w = FSWeights(("name_eq", "size_eq"), (0.9, 0.8), (0.1, 0.3), 0.2)
+        got = {
+            r["id_a"]: r["fs_weight"] for r in fs_pair_weights(vec, w).collect()
+        }
+        def pyw(bits):
+            tot = 0.0
+            for k, b in enumerate(bits):
+                tot += (
+                    math.log2(w.m[k] / w.u[k])
+                    if b
+                    else math.log2((1 - w.m[k]) / (1 - w.u[k]))
+                )
+            return tot
+        assert got["x1"] == pytest.approx(pyw((1, 1)))
+        assert got["x2"] == pytest.approx(pyw((1, 0)))
+        assert got["x4"] == pytest.approx(pyw((0, 0)))
+
+    def test_fit_on_spark_matches_driver_em(self, spark):
+        vec = self._vectors(spark)
+        fitted = fit_fs_weights(vec, ["name_eq", "size_eq"], n_iter=30)
+        rows = [
+            (r["pattern"], r["n_pairs"]) for r in pattern_counts(vec).collect()
+        ]
+        direct = fellegi_sunter_em(rows, ["name_eq", "size_eq"], n_iter=30)
+        assert fitted == direct
+
+    def test_weight_expr_validates_lengths(self):
+        with pytest.raises(ValueError):
+            fs_weight_expr(["a", "b"], [0.9], [0.1])
+
+
+class TestConstrainedCC:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "u string, v string")
+
+    def test_direct_edge_dropped_splits_component(self, spark):
+        # chain a-b-c; cannot-link (b,c) removes the only bridge
+        e = self._edges(spark, [("a", "b"), ("b", "c")])
+        cl = self._edges(spark, [("c", "b")])  # reversed orientation on purpose
+        comp = {r["node"]: r["component"] for r in
+                constrained_components(e, cl).collect()}
+        assert comp.get("a") == "a" and comp.get("b") == "a"
+        assert "c" not in comp  # c became a singleton (non-singletons only)
+
+    def test_indirect_path_survives_and_is_audited(self, spark):
+        # triangle a-b, b-c, a-c with cannot-link (a,c): the direct edge
+        # goes, but a-b-c still connects them -> violation audit fires
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+        cl = self._edges(spark, [("a", "c")])
+        comps = constrained_components(e, cl)
+        viol = constraint_violations(comps, cl).collect()
+        assert len(viol) == 1 and viol[0]["violated"] is True
+        assert viol[0]["comp_u"] == viol[0]["comp_v"] == "a"
+
+    def test_violations_singleton_fallback(self, spark):
+        e = self._edges(spark, [("a", "b")])
+        cl = self._edges(spark, [("x", "y")])  # neither node clustered
+        comps = connected_components(e, src="u", dst="v")
+        viol = constraint_violations(comps, cl).collect()
+        assert viol[0]["violated"] is False
+        assert viol[0]["comp_u"] == "x" and viol[0]["comp_v"] == "y"
+
+    def test_repair_splits_violated_component(self, spark):
+        # path a-b-c-d with cannot-link (a,d); scores favor keeping
+        # (a,b) and (c,d): greedy drops the middle (b,c) merge
+        e = spark.createDataFrame(
+            [("a", "b", 0.9), ("b", "c", 0.5), ("c", "d", 0.8)],
+            "u string, v string, s double",
+        )
+        cl = self._edges(spark, [("a", "d")])
+        comps = connected_components(e, src="u", dst="v")
+        rep = {r["node"]: r["component"] for r in
+               repair_components(e, comps, cl, score="s").collect()}
+        assert rep == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+    def test_repair_passthrough_untouched_components(self, spark):
+        e = self._edges(spark, [("a", "b"), ("x", "y")])
+        cl = self._edges(spark, [("a", "b")])
+        comps = connected_components(e, src="u", dst="v")
+        rep = {r["node"]: r["component"] for r in
+               repair_components(e, comps, cl).collect()}
+        # (x, y) untouched; (a, b) split apart
+        assert rep["x"] == "x" and rep["y"] == "x"
+        assert rep["a"] != rep["b"]
+
+    def test_repair_never_coclusters_cannot_link(self, spark):
+        # dense K4 with two constraints; invariant holds whatever the split
+        nodes = ["a", "b", "c", "d"]
+        e = self._edges(
+            spark, [(x, y) for x in nodes for y in nodes if x < y]
+        )
+        cl = self._edges(spark, [("a", "b"), ("c", "d")])
+        comps = connected_components(e, src="u", dst="v")
+        rep = {r["node"]: r["component"] for r in
+               repair_components(e, comps, cl).collect()}
+        assert rep["a"] != rep["b"] and rep["c"] != rep["d"]
+        # deterministic across reruns
+        rep2 = {r["node"]: r["component"] for r in
+                repair_components(e, comps, cl).collect()}
+        assert rep == rep2
