@@ -47,6 +47,18 @@ class PipelineConfig:
     lev_weight: float = 0.3
     cos_weight: float = 0.3
     match_threshold: float = 0.82
+    # opt-in Fellegi-Sunter edge selection: binarize the similarity
+    # columns at the cuts below, fit m/u by EM on the bounded
+    # (<=2^K-row) agreement-pattern table, and keep pairs whose log2
+    # decision weight clears fs_threshold (0 = likelier match than
+    # non-match under conditional independence) instead of the fixed
+    # weighted-mean threshold. Default off — the reference-parity F1
+    # contract is defined on the fixed formula.
+    fs_scoring: bool = False
+    fs_threshold: float = 0.0
+    fs_jw_cut: float = 0.9
+    fs_lev_cut: float = 0.75
+    fs_cos_cut: float = 0.9
     # clustering
     cc_max_iter: int = 20
 

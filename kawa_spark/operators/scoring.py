@@ -326,3 +326,38 @@ def match_edges(scored: DataFrame, cfg: PipelineConfig | None = None) -> DataFra
     return scored.filter(F.col("score") >= cfg.match_threshold).select(
         "id_a", "id_b", "score", "block_key"
     )
+
+
+def fs_match_edges(
+    scored: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Fellegi-Sunter alternative to :func:`match_edges` (cfg.fs_scoring).
+
+    Binarizes the similarity columns at cfg.fs_*_cut, fits m/u by EM on
+    the bounded agreement-pattern table (<= 2^3 rows at any scale — the
+    one sanctioned collect, see operators/linkage.py), scores every pair
+    with the literal-folded log2 decision weight, and keeps pairs at or
+    above cfg.fs_threshold. Without embeddings the cos bit is constant
+    0 and EM drives its weight to ~0 — harmless. Same output contract
+    as match_edges: (id_a, id_b, score, block_key), with score = the FS
+    weight so downstream greedy repair orders by calibrated evidence.
+    """
+    from .linkage import agreement_vectors, fit_fs_weights, fs_weight_expr
+
+    cfg = cfg or PipelineConfig()
+    fields = {
+        "jw_hi": F.col("jw") >= cfg.fs_jw_cut,
+        "lev_hi": F.col("lev_sim") >= cfg.fs_lev_cut,
+        "cos_hi": F.col("cos").isNotNull()
+        & ~F.isnan("cos")
+        & (F.col("cos") >= cfg.fs_cos_cut),
+    }
+    vec = agreement_vectors(scored, fields)
+    w = fit_fs_weights(vec, list(fields))
+    return (
+        vec.withColumn(
+            "score", fs_weight_expr(list(w.fields), list(w.m), list(w.u))
+        )
+        .filter(F.col("score") >= cfg.fs_threshold)
+        .select("id_a", "id_b", "score", "block_key")
+    )

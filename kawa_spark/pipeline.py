@@ -28,6 +28,8 @@ from .operators.blocking import add_block_keys, candidate_pairs
 from .operators.cc import (
     assign_surface_clusters,
     connected_components,
+    constrained_components,
+    repair_components,
 )
 from .operators.urls import dedup_canonical
 from .operators.extract import (
@@ -35,7 +37,7 @@ from .operators.extract import (
     extract_mentions_dedup,
     split_outputs,
 )
-from .operators.scoring import match_edges, score_pairs
+from .operators.scoring import fs_match_edges, match_edges, score_pairs
 
 STAGES = ["mentions", "surfaces", "block_keys", "pairs", "edges", "clusters"]
 
@@ -70,6 +72,7 @@ class ERPipeline:
         out_dir: str | None = None,
         lexicon_path: str | None = None,
         partition_cols: list[str] | None = None,
+        cannot_link: DataFrame | None = None,
     ):
         """Lexicon source: either ``word2ner`` seed records (broadcast,
         cascade built per executor) or ``lexicon_path`` — a saved
@@ -82,7 +85,15 @@ class ERPipeline:
         keyed by partition VALUE — the "per-Iceberg-partition lineage +
         metrics" contract — instead of the physical spark partition id.
         Stages without the columns fall back to physical-partition
-        lineage."""
+        lineage.
+
+        ``cannot_link``: optional (norm_a, norm_b) DataFrame of
+        adjudicated-distinct surface-form pairs (negative rules). Their
+        direct edges are dropped before CC and any residual transitive
+        violation is split by greedy score-ordered repair
+        (operators/cc.py: constrained_components + repair_components),
+        so no cannot-link pair ever shares a cluster. Norms absent from
+        the corpus are ignored. Default None = behavior unchanged."""
         if word2ner is None and lexicon_path is None:
             raise ValueError("ERPipeline needs word2ner or lexicon_path")
         self.spark = spark
@@ -95,6 +106,7 @@ class ERPipeline:
         self.embeddings = embeddings or {}
         self.cfg = cfg or DEFAULT_CONFIG
         self.out_dir = out_dir
+        self.cannot_link = cannot_link
         self.partition_cols = partition_cols or []
         self.metrics: list[StageResult] = []
         self._persisted: list[DataFrame] = []
@@ -270,24 +282,53 @@ class ERPipeline:
         pairs = self._fusable_stage(
             "pairs", resume, lambda: candidate_pairs(keyed, cfg)
         )
+        _edges = fs_match_edges if cfg.fs_scoring else match_edges
         edges = self._fusable_stage(
             "edges",
             resume,
-            lambda: match_edges(score_pairs(pairs, self.embeddings, cfg), cfg),
+            lambda: _edges(score_pairs(pairs, self.embeddings, cfg), cfg),
         )
+
+        def _components() -> DataFrame:
+            reliable = bool(self.out_dir)
+            if self.cannot_link is None:
+                return connected_components(
+                    edges, max_iter=cfg.cc_max_iter,
+                    reliable_checkpoints=reliable,
+                )
+            # negative rules: norms -> surface ids (inner joins drop
+            # constraints on norms absent from this corpus), direct
+            # violating edges filtered pre-CC, residual transitive
+            # violations split by greedy score-ordered repair
+            s = surfaces.select("norm", "surface_id")
+            cl_ids = (
+                self.cannot_link.join(
+                    s.withColumnRenamed("norm", "norm_a").withColumnRenamed(
+                        "surface_id", "id_a"
+                    ),
+                    "norm_a",
+                )
+                .join(
+                    s.withColumnRenamed("norm", "norm_b").withColumnRenamed(
+                        "surface_id", "id_b"
+                    ),
+                    "norm_b",
+                )
+                .select("id_a", "id_b")
+            )
+            comps = constrained_components(
+                edges, cl_ids, src="id_a", dst="id_b",
+                cl_src="id_a", cl_dst="id_b",
+                max_iter=cfg.cc_max_iter, reliable_checkpoints=reliable,
+            )
+            return repair_components(
+                edges, comps, cl_ids, src="id_a", dst="id_b", score="score"
+            )
+
         clusters = self._stage(
             "clusters",
             resume,
-            lambda: assign_surface_clusters(
-                mentions,
-                surfaces,
-                connected_components(
-                    edges,
-                    max_iter=cfg.cc_max_iter,
-                    # durable runs must survive executor loss mid-loop
-                    reliable_checkpoints=bool(self.out_dir),
-                ),
-            ),
+            lambda: assign_surface_clusters(mentions, surfaces, _components()),
         )
         return clusters
 
