@@ -73,6 +73,7 @@ class ERPipeline:
         lexicon_path: str | None = None,
         partition_cols: list[str] | None = None,
         cannot_link: DataFrame | None = None,
+        must_link: DataFrame | None = None,
     ):
         """Lexicon source: either ``word2ner`` seed records (broadcast,
         cascade built per executor) or ``lexicon_path`` — a saved
@@ -93,7 +94,14 @@ class ERPipeline:
         violation is split by greedy score-ordered repair
         (operators/cc.py: constrained_components + repair_components),
         so no cannot-link pair ever shares a cluster. Norms absent from
-        the corpus are ignored. Default None = behavior unchanged."""
+        the corpus are ignored. Default None = behavior unchanged.
+
+        ``must_link``: optional (norm_a, norm_b) DataFrame of
+        adjudicated-same pairs (positive rules). They join the edge
+        list with +inf score ahead of CC, so they always co-cluster —
+        and in greedy repair they replay before every scored edge. A
+        pair under BOTH rules resolves to cannot-link (the conservative
+        precedence: never re-merge an adjudicated-distinct pair)."""
         if word2ner is None and lexicon_path is None:
             raise ValueError("ERPipeline needs word2ner or lexicon_path")
         self.spark = spark
@@ -107,6 +115,7 @@ class ERPipeline:
         self.cfg = cfg or DEFAULT_CONFIG
         self.out_dir = out_dir
         self.cannot_link = cannot_link
+        self.must_link = must_link
         self.partition_cols = partition_cols or []
         self.metrics: list[StageResult] = []
         self._persisted: list[DataFrame] = []
@@ -289,20 +298,12 @@ class ERPipeline:
             lambda: _edges(score_pairs(pairs, self.embeddings, cfg), cfg),
         )
 
-        def _components() -> DataFrame:
-            reliable = bool(self.out_dir)
-            if self.cannot_link is None:
-                return connected_components(
-                    edges, max_iter=cfg.cc_max_iter,
-                    reliable_checkpoints=reliable,
-                )
-            # negative rules: norms -> surface ids (inner joins drop
-            # constraints on norms absent from this corpus), direct
-            # violating edges filtered pre-CC, residual transitive
-            # violations split by greedy score-ordered repair
+        def _norm_pairs_to_ids(pairs: DataFrame) -> DataFrame:
+            # norms -> surface ids; inner joins drop constraints on
+            # norms absent from this corpus
             s = surfaces.select("norm", "surface_id")
-            cl_ids = (
-                self.cannot_link.join(
+            return (
+                pairs.join(
                     s.withColumnRenamed("norm", "norm_a").withColumnRenamed(
                         "surface_id", "id_a"
                     ),
@@ -316,13 +317,37 @@ class ERPipeline:
                 )
                 .select("id_a", "id_b")
             )
+
+        def _components() -> DataFrame:
+            reliable = bool(self.out_dir)
+            cc_edges = edges
+            if self.must_link is not None:
+                # positive rules ride the edge list at +inf score: they
+                # always co-cluster, and greedy repair replays them
+                # before every scored edge
+                cc_edges = cc_edges.unionByName(
+                    _norm_pairs_to_ids(self.must_link)
+                    .withColumn("score", F.lit(float("inf")))
+                    .withColumn("block_key", F.lit("must_link"))
+                )
+            if self.cannot_link is None:
+                return connected_components(
+                    cc_edges, max_iter=cfg.cc_max_iter,
+                    reliable_checkpoints=reliable,
+                )
+            # negative rules: direct violating edges filtered pre-CC,
+            # residual transitive violations split by greedy
+            # score-ordered repair (cannot-link outranks must-link: the
+            # anti-join drops a pair under both rules, and repair never
+            # merges across a constraint regardless of edge score)
+            cl_ids = _norm_pairs_to_ids(self.cannot_link)
             comps = constrained_components(
-                edges, cl_ids, src="id_a", dst="id_b",
+                cc_edges, cl_ids, src="id_a", dst="id_b",
                 cl_src="id_a", cl_dst="id_b",
                 max_iter=cfg.cc_max_iter, reliable_checkpoints=reliable,
             )
             return repair_components(
-                edges, comps, cl_ids, src="id_a", dst="id_b", score="score"
+                cc_edges, comps, cl_ids, src="id_a", dst="id_b", score="score"
             )
 
         clusters = self._stage(

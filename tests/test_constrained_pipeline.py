@@ -116,3 +116,53 @@ class TestFSScoringPipeline:
         )
         pipe.unpersist()
         assert multi == 0
+
+
+class TestMustLinkPipeline:
+    def _two_cluster_norms(self, baseline):
+        by_cluster: dict = {}
+        for norm, cid in baseline.items():
+            by_cluster.setdefault(cid, []).append(norm)
+        cids = sorted(c for c, ns in by_cluster.items())
+        if len(cids) < 2:
+            pytest.skip("corpus produced fewer than 2 clusters")
+        return sorted(by_cluster[cids[0]])[0], sorted(by_cluster[cids[1]])[0]
+
+    def test_must_link_merges_clusters(self, spark, corpus, docs_df, baseline):
+        a, b = self._two_cluster_norms(baseline)
+        ml = spark.createDataFrame([(a, b)], "norm_a string, norm_b string")
+        pipe = ERPipeline(
+            spark, word2ner=[list(r) for r in corpus.word2ner], must_link=ml
+        )
+        got = {
+            r["norm"]: r["cluster_id"]
+            for r in pipe.run(docs_df)
+            .select("norm", "cluster_id")
+            .distinct()
+            .collect()
+        }
+        pipe.unpersist()
+        assert got[a] == got[b], "must-link pair not co-clustered"
+
+    def test_cannot_link_outranks_must_link(
+        self, spark, corpus, docs_df, baseline
+    ):
+        a, b = self._two_cluster_norms(baseline)
+        pair = spark.createDataFrame(
+            [(a, b)], "norm_a string, norm_b string"
+        )
+        pipe = ERPipeline(
+            spark,
+            word2ner=[list(r) for r in corpus.word2ner],
+            must_link=pair,
+            cannot_link=pair,
+        )
+        got = {
+            r["norm"]: r["cluster_id"]
+            for r in pipe.run(docs_df)
+            .select("norm", "cluster_id")
+            .distinct()
+            .collect()
+        }
+        pipe.unpersist()
+        assert got[a] != got[b], "cannot-link precedence broken"
