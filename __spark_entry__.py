@@ -2926,12 +2926,41 @@ def _q_fs_pattern_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir)
     pairs = spark.sql(_FS_PAIRS_SQL)
+    # String-similarity bits belong on the DISTINCT-surface pair space,
+    # not the quadratic row-pair stream (the ER pipeline's surfaces
+    # trick): distinct names are orders of magnitude fewer than rows,
+    # so lev runs on a tiny dim table that broadcast-joins back onto
+    # the pair stream. The lev itself is the banded threshold form
+    # behind a length-gap guard (a gap > 2 already implies lev > 2) —
+    # same [lev <= 2] bit as the oracle's plain expression.
+    names = spark.sql(
+        "SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS blk"
+        " FROM part"
+    )
+    name_dim = (
+        names.alias("a")
+        .join(
+            names.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.when(
+                F.abs(F.length("a.name") - F.length("b.name")) > 2,
+                F.lit(False),
+            )
+            .otherwise(F.levenshtein(F.col("a.name"), F.col("b.name"), 2) >= 0)
+            .alias("name_close_bit"),
+        )
+    )
     vec = agreement_vectors(
-        pairs,
+        pairs.join(F.broadcast(name_dim), ["name_a", "name_b"]),
         {
             "brand_eq": F.col("brand_a") == F.col("brand_b"),
             "type_eq": F.col("type_a") == F.col("type_b"),
-            "name_close": F.levenshtein("name_a", "name_b") <= 2,
+            "name_close": F.col("name_close_bit"),
             "size_eq": F.col("size_a") == F.col("size_b"),
         },
     )
@@ -2949,7 +2978,10 @@ _FS_ORACLE_TEMPLATE = """
     WITH pairs AS ({pairs}),
     vec AS (
         SELECT CAST(brand_a = brand_b AS INT) AS brand_eq,
-               CAST(levenshtein(name_a, name_b) <= 2 AS INT) AS name_close,
+               CAST(CASE WHEN abs(length(name_a) - length(name_b)) > 2
+                         THEN FALSE
+                         ELSE levenshtein(name_a, name_b) <= 2
+                    END AS INT) AS name_close,
                CAST(size_a = size_b AS INT) AS size_eq,
                CAST(type_a = type_b AS INT) AS type_eq
         FROM pairs
