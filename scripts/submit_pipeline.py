@@ -43,6 +43,16 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="stage output root")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--cannot-link", default=None,
+                    help="parquet of (norm_a, norm_b) adjudicated-distinct "
+                         "pairs; guaranteed split in the output clusters")
+    ap.add_argument("--must-link", default=None,
+                    help="parquet of (norm_a, norm_b) adjudicated-same "
+                         "pairs; always co-clustered (cannot-link wins "
+                         "on contradiction)")
+    ap.add_argument("--fs-scoring", action="store_true",
+                    help="EM-calibrated Fellegi-Sunter edge selection "
+                         "instead of the fixed weighted-mean threshold")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -92,7 +102,15 @@ def main() -> None:
     for stage in ["mentions", "surfaces", "block_keys", "pairs", "edges", "clusters"]:
         os.makedirs(os.path.join(args.out, stage), exist_ok=True)
 
-    pipe = ERPipeline(spark, word2ner, out_dir=args.out)
+    from kawa_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(fs_scoring=True) if args.fs_scoring else None
+    cl = spark.read.parquet(args.cannot_link) if args.cannot_link else None
+    ml = spark.read.parquet(args.must_link) if args.must_link else None
+    pipe = ERPipeline(
+        spark, word2ner, out_dir=args.out, cfg=cfg,
+        cannot_link=cl, must_link=ml,
+    )
     clusters = pipe.run(docs, resume=args.resume)
     n = clusters.count()
     report = {
