@@ -3032,6 +3032,31 @@ def _q_constrained_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_META_KEYED_SQL = """
+    SELECT DISTINCT p_name AS mention_id,
+           concat('w1:', split_part(p_name, ' ', 1)) AS block_key FROM part
+    UNION
+    SELECT DISTINCT p_name, concat('w2:', split_part(p_name, ' ', 2))
+    FROM part
+    UNION
+    SELECT DISTINCT p_name, concat('b:', p_brand) FROM part
+"""
+
+
+def _q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Meta-blocking (CBS weighting): three redundant key spaces per
+    # surface (name word 1, name word 2, observed brand); pairs sharing
+    # >= 2 distinct keys survive, the single-key coincidences are
+    # pruned BEFORE any string comparison. Exercises the skew-bounded
+    # per-key pair stream + one count-distinct shuffle
+    # (operators/blocking.py:meta_block_pairs).
+    from kawa_spark.operators.blocking import meta_block_pairs
+
+    _views(spark, sf_dir)
+    keyed = spark.sql(_META_KEYED_SQL)
+    return meta_block_pairs(keyed, min_shared=2)
+
+
 # The driver's correctness gate runs exactly the FIRST 50 entries of
 # queries() (observed r02/r03 behavior; README "driver-gate cap"). This
 # list pins which queries land in that window each round: queries that
@@ -3065,15 +3090,16 @@ _DRIVER_PRIORITY = [
     # canonicalization, no driver row yet)
     "dup_span_coverage", "surt_host_stats",
     # round-4 session-6 additions (Fellegi-Sunter pattern weights +
-    # cannot-link constrained clustering, no driver row yet)
-    "fs_pattern_weights", "constrained_cc",
+    # cannot-link constrained clustering + CBS meta-blocking, no driver
+    # row yet)
+    "fs_pattern_weights", "constrained_cc", "meta_blocking",
     # substantive operator queries (doubly-green, kept in-window)
     "block_pairs_lev", "exact_dedup_fingerprint", "minhash_signature",
     "ngram_jaccard", "ngram_lsh_dedup",
-    "cc_components", "ann_lsh", "ann_ivf",
+    "cc_components", "ann_ivf",
     # rotated out for the round-4 queries (each driver-green in BOTH
     # r02 and r03 + local check_oracle evidence): synonym_pivot,
-    # hypernym_closure (rotated by session 6), stopword_filter,
+    # hypernym_closure, ann_lsh (rotated by session 6), stopword_filter,
     # token_counts, digit_fold_vocab, prefix_bounds, script_detect,
     # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta,
     # bpe_token_counts, quality_score, simhash_dedup, wikiann_merge,
@@ -3155,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_recall_multi": _q_ann_recall_multi,
             "fs_pattern_weights": _q_fs_pattern_weights,
             "constrained_cc": _q_constrained_cc,
+            "meta_blocking": _q_meta_blocking,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -3462,6 +3489,16 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id
             """,
             "fs_pattern_weights": _fs_oracle_sql(),
+            "meta_blocking": f"""
+                WITH keyed AS ({_META_KEYED_SQL})
+                SELECT a.mention_id AS id_a, b.mention_id AS id_b,
+                       COUNT(DISTINCT a.block_key) AS cbs
+                FROM keyed a
+                JOIN keyed b ON a.block_key = b.block_key
+                            AND a.mention_id < b.mention_id
+                GROUP BY a.mention_id, b.mention_id
+                HAVING COUNT(DISTINCT a.block_key) >= 2
+            """,
             "constrained_cc": """
                 WITH RECURSIVE
                 edges AS (SELECT DISTINCT concat('b:', p_brand) AS u,

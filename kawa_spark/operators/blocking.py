@@ -386,3 +386,40 @@ def bounded_cross_pairs(
         .select(*out_cols())
     )
     return cold_pairs.unionByName(hot_pairs)
+
+
+def meta_block_pairs(
+    keyed: DataFrame,
+    min_shared: int = 2,
+    key_col: str = "block_key",
+    id_col: str = "mention_id",
+    threshold: int = 2000,
+    groups: int = 8,
+) -> DataFrame:
+    """Meta-blocking: CBS (common-blocks scheme) pair weighting + pruning
+    (Papadakis et al., "Meta-Blocking: Taking Entity Resolution to the
+    Next Level", TKDE 2014).
+
+    Redundancy-positive blocking (several key spaces per entity) makes
+    the number of shared keys itself a cheap match signal: a pair that
+    co-occurs in only one of its many blocks is usually a coincidence of
+    one key space. This prunes the candidate stream BEFORE any string
+    comparison runs — at 10^12 docs the comparisons saved dwarf the cost
+    of the one counting shuffle added here.
+
+    Shape: the per-key pair stream comes from :func:`bounded_self_pairs`
+    (hot keys triangle-partitioned — the usual suspects for redundant
+    pairs are exactly the hot blocks), then ONE partial-aggregating
+    count-distinct shuffle on (id_a, id_b). Output: (id_a, id_b, cbs)
+    for pairs sharing >= ``min_shared`` distinct keys. ``keyed`` may
+    carry duplicate (id, key) rows — cbs counts distinct keys.
+    """
+    per_key = bounded_self_pairs(
+        keyed, key_col=key_col, id_col=id_col,
+        threshold=threshold, groups=groups,
+    )
+    return (
+        per_key.groupBy("id_a", "id_b")
+        .agg(F.count_distinct(F.col(key_col)).alias("cbs"))
+        .filter(F.col("cbs") >= min_shared)
+    )

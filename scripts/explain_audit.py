@@ -185,6 +185,20 @@ CHECKS = {
             r"ReadSchema: struct<p_name:string,p_brand:string,"
             r"p_type:string,p_size:int>", p) is not None),
     ],
+    # CBS meta-blocking: the per-key pair stream must keep the
+    # bounded_self_pairs hot/cold split, and the cbs count must
+    # partial-aggregate before its exchange
+    "meta_blocking": [
+        ("hot/cold split present (LeftAnti)", lambda p: "LeftAnti" in p),
+        ("cold+hot pair union present", lambda p: "Union" in p),
+        ("no cartesian/BNLJ", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("map-side partial agg before the cbs exchange", lambda p:
+         "partial_" in p),
+        ("scan prunes to name+brand", lambda p: re.search(
+            r"ReadSchema: struct<p_name:string(,p_brand:string)?>", p)
+         is not None),
+    ],
     # canonical-representative election: window + agg over one
     # partitioning — no join, no cartesian
     "cluster_canonical": [

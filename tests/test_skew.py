@@ -79,3 +79,52 @@ def test_bounded_self_pairs_hot_band_key_equals_naive(spark):
         .agg(F.max("count").alias("mx")).first()
     )
     assert sizes["mx"] <= 3 * s // g, sizes
+
+
+def test_meta_block_pairs_equals_naive_with_hot_key(spark):
+    """CBS meta-blocking == the naive per-key join + count-distinct +
+    prune, including when one key space is hot enough to take the
+    triangle-partitioned path, and duplicate (id, key) rows inflate
+    nothing (cbs counts distinct keys)."""
+    import random
+
+    from kawa_spark.operators.blocking import meta_block_pairs
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        mid = f"e{i:04d}"
+        rows.append((mid, "hot:shared"))  # hot key space: everyone
+        rows.append((mid, f"w:{rng.randrange(12)}"))
+        rows.append((mid, f"b:{rng.randrange(25)}"))
+        if i % 7 == 0:
+            rows.append((mid, f"w:{rng.randrange(12)}"))  # dup-ish keys
+        if i % 3 == 0:
+            rows.append((mid, rows[-1][1]))  # exact duplicate row
+    keyed = spark.createDataFrame(rows, "mention_id string, block_key string")
+
+    got = {
+        (r["id_a"], r["id_b"], r["cbs"])
+        for r in meta_block_pairs(
+            keyed, min_shared=2, threshold=50, groups=4
+        ).collect()
+    }
+
+    keyed.createOrReplaceTempView("mb_keyed")
+    want = {
+        (r["id_a"], r["id_b"], r["cbs"])
+        for r in spark.sql("""
+            SELECT a.mention_id AS id_a, b.mention_id AS id_b,
+                   COUNT(DISTINCT a.block_key) AS cbs
+            FROM mb_keyed a
+            JOIN mb_keyed b ON a.block_key = b.block_key
+                           AND a.mention_id < b.mention_id
+            GROUP BY a.mention_id, b.mention_id
+            HAVING COUNT(DISTINCT a.block_key) >= 2
+        """).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # pruning is real: some single-key pairs existed and were dropped
+    all_pairs = meta_block_pairs(keyed, min_shared=1, threshold=50, groups=4)
+    assert all_pairs.count() > len(got)
