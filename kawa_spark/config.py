@@ -35,6 +35,11 @@ class PipelineConfig:
     hot_key_threshold: int = 2000  # mentions per block key before triangle split
     hot_key_groups: int = 8
     max_pairs_per_key: int | None = None  # None = exact (triangle-partitioned)
+    # CBS meta-blocking (opt-in, >1): a candidate pair must share at
+    # least this many DISTINCT blocking keys to reach scoring — the
+    # comparison-budget lever at 10^12 docs; rides the existing pair
+    # dedup shuffle for free (operators/blocking.py:candidate_pairs).
+    min_shared_keys: int = 1
     # opt-in Arrow-UDF key spaces (F16): double-metaphone primary or
     # secondary + Latin transliteration skeleton. Default off — the
     # native soundex/prefix/MinHash keys cover the Latin fast path

@@ -307,7 +307,10 @@ def candidate_pairs(keyed: DataFrame, cfg: PipelineConfig | None = None) -> Data
 
     Skew-bounded pair generation (see :func:`bounded_self_pairs`), then
     one dedup shuffle: a pair found via several key spaces is scored
-    once."""
+    once. ``cfg.min_shared_keys > 1`` turns the same shuffle into CBS
+    meta-blocking (see :func:`meta_block_pairs`): the distinct-key count
+    rides the existing pair aggregate for free, and single-key
+    coincidence pairs are pruned before scoring."""
     cfg = cfg or PipelineConfig()
     pairs = bounded_self_pairs(
         keyed,
@@ -317,10 +320,20 @@ def candidate_pairs(keyed: DataFrame, cfg: PipelineConfig | None = None) -> Data
         threshold=cfg.hot_key_threshold,
         groups=cfg.hot_key_groups,
     )
-    return pairs.groupBy("id_a", "id_b").agg(
+    aggs = [
         F.min("block_key").alias("block_key"),
         F.first("norm_a").alias("norm_a"),
         F.first("norm_b").alias("norm_b"),
+    ]
+    if cfg.min_shared_keys <= 1:
+        # default path: plan unchanged (no distinct-aggregate stage)
+        return pairs.groupBy("id_a", "id_b").agg(*aggs)
+    aggs.append(F.count_distinct(F.col("block_key")).alias("cbs"))
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(*aggs)
+        .filter(F.col("cbs") >= cfg.min_shared_keys)
+        .drop("cbs")
     )
 
 

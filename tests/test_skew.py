@@ -128,3 +128,30 @@ def test_meta_block_pairs_equals_naive_with_hot_key(spark):
     # pruning is real: some single-key pairs existed and were dropped
     all_pairs = meta_block_pairs(keyed, min_shared=1, threshold=50, groups=4)
     assert all_pairs.count() > len(got)
+
+
+def test_candidate_pairs_min_shared_keys(spark):
+    """cfg.min_shared_keys prunes single-key pairs from candidate_pairs
+    and equals an explicit meta_block_pairs intersection; default=1
+    output is unchanged."""
+    from kawa_spark.config import PipelineConfig
+    from kawa_spark.operators.blocking import candidate_pairs, meta_block_pairs
+
+    rows = []
+    for i in range(60):
+        mid, norm = f"m{i:03d}", f"n{i:03d}"
+        rows.append((mid, norm, f"pre:{i % 5}"))
+        rows.append((mid, norm, f"sx:{i % 9}"))
+    keyed = spark.createDataFrame(
+        rows, "mention_id string, norm string, block_key string"
+    )
+    base = {(r["id_a"], r["id_b"]) for r in
+            candidate_pairs(keyed, PipelineConfig()).collect()}
+    pruned = {(r["id_a"], r["id_b"]) for r in
+              candidate_pairs(
+                  keyed, PipelineConfig(min_shared_keys=2)
+              ).collect()}
+    want = {(r["id_a"], r["id_b"]) for r in
+            meta_block_pairs(keyed, min_shared=2).collect()}
+    assert pruned == want
+    assert pruned < base  # strictly fewer: single-key pairs dropped
