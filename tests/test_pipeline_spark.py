@@ -245,6 +245,25 @@ class TestEndToEnd:
         assert b3["recall"] >= 0.90, b3
         assert b3["f1"] >= 0.95, b3
 
+    def test_cbs_pruning_keeps_f1_gate(self, spark, corpus, docs_df):
+        """cfg.min_shared_keys=2 (CBS meta-blocking prune) must still
+        clear the pairwise-F1 contract: on the gate corpus true matches
+        share >= 2 key spaces (exact/prefix/soundex/MinHash agree on
+        near-identical norms), so pruning single-key coincidences costs
+        zero recall — measured identical tp/fn to the default run."""
+        _, w2n, _, truth = corpus_to_pandas(corpus)
+        pipe = ERPipeline(
+            spark, corpus.word2ner, corpus.embeddings,
+            cfg=PipelineConfig(min_shared_keys=2),
+        )
+        clusters = pipe.run(docs_df)
+        keyed = add_block_keys(clusters.select("mention_id", "norm"), pipe.cfg)
+        truth_df = spark.createDataFrame(truth)
+        stats = pairwise_f1(labeled_pairs_from_truth(clusters, truth_df, keyed))
+        pipe.unpersist()
+        assert stats["f1"] >= 0.99, stats
+        assert stats["precision"] == 1.0, stats
+
     def test_resume_skips_and_matches(self, spark, corpus, docs_df, tmp_path):
         pipe = ERPipeline(
             spark, corpus.word2ner, corpus.embeddings, out_dir=str(tmp_path / "er2")
