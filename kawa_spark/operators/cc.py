@@ -261,11 +261,20 @@ def repair_components(
         F.col("cl_u").alias("u"), F.col("cl_v").alias("v"),
         F.lit(0.0).alias("w"), F.lit("c").alias("kind"),
     )
-    node_comp = bad.select(F.col("node").alias("u"), "component")
+    # Route a row into a repair group only when BOTH endpoints sit in
+    # the SAME violated component: edges fed here may be the pre-filter
+    # list (a dropped cannot-link direct edge can span components) and
+    # constraint pairs can straddle components — routing by one endpoint
+    # would inject foreign nodes into the group and emit duplicate,
+    # conflicting (node, component) rows beside the good-passthrough.
+    nc_u = bad.select(F.col("node").alias("u"), F.col("component").alias("comp_u"))
+    nc_v = bad.select(F.col("node").alias("v"), F.col("component").alias("comp_v"))
     tagged = (
         e.unionByName(cle)
-        .join(node_comp, "u", "inner")  # route rows to their component
-        .select("component", "u", "v", "w", "kind")
+        .join(nc_u, "u", "inner")
+        .join(nc_v, "v", "inner")
+        .filter(F.col("comp_u") == F.col("comp_v"))
+        .select(F.col("comp_u").alias("component"), "u", "v", "w", "kind")
     )
 
     out_schema = StructType(

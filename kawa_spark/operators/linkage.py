@@ -93,6 +93,11 @@ def fellegi_sunter_em(
     (1988); fields that violate it should be merged or dropped by the
     caller.
     """
+    if list(fields) != sorted(fields):
+        # pattern bits are encoded in sorted field-name order by
+        # agreement_vectors; a differently-ordered field list would
+        # silently decode every pattern against the wrong fields
+        raise ValueError("fields must be in sorted order (pattern bit order)")
     K = len(fields)
     pats = [(tuple(int(c) for c in pat), float(n)) for pat, n in counts]
     if any(len(p) != K for p, _ in pats):
@@ -139,8 +144,15 @@ def fs_weight_expr(
     """Per-pair FS match weight as a native column expression: the
     per-field agree/disagree log2 contributions are Python-side
     literals, so the whole thing is codegen'd arithmetic over the 0/1
-    agreement columns — no join, no UDF, no shuffle."""
-    names = sorted(fields)
+    agreement columns — no join, no UDF, no shuffle.
+
+    ``m``/``u`` must be aligned with ``fields``, and ``fields`` must be
+    in sorted order (the order agreement_vectors encodes and the EM
+    fits) — enforced loudly rather than silently re-sorted, which would
+    pair weights with the wrong columns."""
+    names = list(fields)
+    if names != sorted(names):
+        raise ValueError("fields must be in sorted order (m/u alignment)")
     if not (len(names) == len(m) == len(u)):
         raise ValueError("fields/m/u length mismatch")
     expr = F.lit(0.0)

@@ -329,7 +329,9 @@ def match_edges(scored: DataFrame, cfg: PipelineConfig | None = None) -> DataFra
 
 
 def fs_match_edges(
-    scored: DataFrame, cfg: PipelineConfig | None = None
+    scored: DataFrame,
+    cfg: PipelineConfig | None = None,
+    register_persist=None,
 ) -> DataFrame:
     """Fellegi-Sunter alternative to :func:`match_edges` (cfg.fs_scoring).
 
@@ -338,11 +340,27 @@ def fs_match_edges(
     one sanctioned collect, see operators/linkage.py), scores every pair
     with the literal-folded log2 decision weight, and keeps pairs at or
     above cfg.fs_threshold. Without embeddings the cos bit is constant
-    0 and EM drives its weight to ~0 — harmless. Same output contract
-    as match_edges: (id_a, id_b, score, block_key), with score = the FS
-    weight so downstream greedy repair orders by calibrated evidence.
+    0 and EM drives its weight to ~0 — harmless. An empty pair stream
+    returns an empty edge set (the match_edges contract), not an EM
+    error. Same output contract as match_edges: (id_a, id_b, score,
+    block_key), with score = the FS weight so downstream greedy repair
+    orders by calibrated evidence.
+
+    ``register_persist``: optional callback receiving the persisted
+    agreement-vector frame (e.g. ``ERPipeline._persisted.append``). The
+    EM collect is one full pass over the scored pairs, and the returned
+    edges re-read the same frame — persisting between the two keeps the
+    most expensive lineage (pair generation + similarity UDFs) from
+    running twice at the 10^12-pair design point.
     """
-    from .linkage import agreement_vectors, fit_fs_weights, fs_weight_expr
+    from pyspark import StorageLevel
+
+    from .linkage import (
+        agreement_vectors,
+        fellegi_sunter_em,
+        fs_weight_expr,
+        pattern_counts,
+    )
 
     cfg = cfg or PipelineConfig()
     fields = {
@@ -353,7 +371,16 @@ def fs_match_edges(
         & (F.col("cos") >= cfg.fs_cos_cut),
     }
     vec = agreement_vectors(scored, fields)
-    w = fit_fs_weights(vec, list(fields))
+    vec = vec.persist(StorageLevel.MEMORY_AND_DISK)
+    if register_persist is not None:
+        register_persist(vec)
+    rows = pattern_counts(vec).collect()
+    names = sorted(fields)
+    if not rows:
+        return vec.filter(F.lit(False)).select(
+            "id_a", "id_b", F.lit(0.0).alias("score"), "block_key"
+        )
+    w = fellegi_sunter_em([(r["pattern"], r["n_pairs"]) for r in rows], names)
     return (
         vec.withColumn(
             "score", fs_weight_expr(list(w.fields), list(w.m), list(w.u))

@@ -291,12 +291,19 @@ class ERPipeline:
         pairs = self._fusable_stage(
             "pairs", resume, lambda: candidate_pairs(keyed, cfg)
         )
-        _edges = fs_match_edges if cfg.fs_scoring else match_edges
-        edges = self._fusable_stage(
-            "edges",
-            resume,
-            lambda: _edges(score_pairs(pairs, self.embeddings, cfg), cfg),
-        )
+        if cfg.fs_scoring:
+            # the EM collect + the edge output both read the scored
+            # pairs: persist between them (registered for unpersist())
+            def _mk_edges() -> DataFrame:
+                return fs_match_edges(
+                    score_pairs(pairs, self.embeddings, cfg), cfg,
+                    register_persist=self._persisted.append,
+                )
+        else:
+            def _mk_edges() -> DataFrame:
+                return match_edges(score_pairs(pairs, self.embeddings, cfg), cfg)
+
+        edges = self._fusable_stage("edges", resume, _mk_edges)
 
         def _norm_pairs_to_ids(pairs: DataFrame) -> DataFrame:
             # norms -> surface ids; inner joins drop constraints on

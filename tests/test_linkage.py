@@ -198,3 +198,50 @@ class TestConstrainedCC:
         rep2 = {r["node"]: r["component"] for r in
                 repair_components(e, comps, cl).collect()}
         assert rep == rep2
+
+
+class TestReviewRegressions:
+    """Pins for the round-4 session-6 review findings."""
+
+    def test_repair_ignores_cross_component_constraints(self, spark):
+        # components X={a,b,c} (violated via the indirect a-b-c path
+        # after the direct a-c edge is dropped) and Y={m,z}; the extra
+        # constraint (a,z) straddles X and Y and must NOT inject z into
+        # X's repair group (which would emit duplicate conflicting rows)
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("m", "z")],
+            "u string, v string",
+        )
+        cl = spark.createDataFrame(
+            [("a", "c"), ("a", "z")], "u string, v string"
+        )
+        comps = constrained_components(e, cl)
+        rep = repair_components(e, comps, cl).collect()
+        by_node: dict = {}
+        for r in rep:
+            by_node.setdefault(r["node"], set()).add(r["component"])
+        # exactly one component per node — no duplicates, no conflicts
+        assert all(len(v) == 1 for v in by_node.values()), by_node
+        assert by_node["z"] == {"m"} and by_node["m"] == {"m"}
+        # the real violation in X was repaired
+        assert by_node["a"] != by_node["c"]
+
+    def test_fs_match_edges_empty_stream(self, spark):
+        from kawa_spark.operators.scoring import fs_match_edges
+
+        empty = spark.createDataFrame(
+            [],
+            "id_a string, id_b string, block_key string,"
+            " jw double, lev_sim double, cos double",
+        )
+        out = fs_match_edges(empty)
+        assert out.columns == ["id_a", "id_b", "score", "block_key"]
+        assert out.count() == 0
+
+    def test_weight_expr_rejects_unsorted_fields(self):
+        with pytest.raises(ValueError, match="sorted"):
+            fs_weight_expr(["size_eq", "brand_eq"], [0.9, 0.8], [0.1, 0.2])
+
+    def test_em_rejects_unsorted_fields(self):
+        with pytest.raises(ValueError, match="sorted"):
+            fellegi_sunter_em([("10", 5), ("01", 5)], ["b", "a"])
