@@ -1432,6 +1432,112 @@ def _q_surt_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher/C4-style rule-based quality gate (Rae et al. 2021 §A1.1
+    # repetition+format rules, minus the model-based ones): per-doc
+    # native signals — word count bounds, mean word length bounds,
+    # symbol-to-word ratio ('#'), fraction of fully-non-alphabetic
+    # words, English-stopword hits — rolled up per language.
+    # 100-TB shape: ONE narrow scan, all signals are JVM-side codegen
+    # string/array expressions (no Python), one lang-keyed partial-agg
+    # exchange with a bounded output (|langs| rows). Corpus-level
+    # ratios are integer-sum/integer-sum (a single final division), so
+    # the result is summation-order independent — safe under AQE
+    # re-partitioning and engine-exact vs the oracle.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH feats AS (
+            SELECT lang,
+                   size(split(text, ' ')) AS word_cnt,
+                   length(replace(text, ' ', '')) AS char_cnt,
+                   length(text) - length(replace(text, '#', '')) AS hash_cnt,
+                   size(filter(split(lower(text), ' '),
+                               w -> w RLIKE '^[^a-z]+$')) AS nonalpha_cnt,
+                   size(filter(split(lower(text), ' '),
+                               w -> w IN ('the','of','and','to','a','in',
+                                          'is','that'))) AS stop_cnt
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN word_cnt BETWEEN 10 AND 5000
+                              AND char_cnt / CAST(word_cnt AS DOUBLE)
+                                  BETWEEN 2.0 AND 12.0
+                              AND hash_cnt / CAST(word_cnt AS DOUBLE) <= 0.1
+                              AND nonalpha_cnt / CAST(word_cnt AS DOUBLE)
+                                  <= 0.3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(SUM(CASE WHEN stop_cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_stopword_docs,
+               ROUND(SUM(char_cnt) / CAST(SUM(word_cnt) AS DOUBLE), 6)
+                   AS mean_word_len,
+               ROUND(SUM(hash_cnt) / CAST(SUM(word_cnt) AS DOUBLE), 6)
+                   AS symbol_ratio,
+               ROUND(SUM(nonalpha_cnt) / CAST(SUM(word_cnt) AS DOUBLE), 6)
+                   AS nonalpha_ratio
+        FROM feats
+        GROUP BY lang
+    """)
+
+
+def _q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature-weighted domain subsampling (the data-mixing step of
+    # an LLM corpus: per-source quota proportional to count^alpha,
+    # alpha=0.5, so rare sources keep a larger share than their raw
+    # frequency). Deterministic and seedless: docs are ranked per
+    # source by md5(doc_id) (a uniform order both engines agree on)
+    # and the top quota_s survive. Output is the per-source quota,
+    # kept count, and the kept-id checksum proving both engines chose
+    # the SAME rows.
+    # 100-TB shape: the quota table is a tiny agg (|sources| rows,
+    # broadcast); the only big exchange is the per-source ROW_NUMBER
+    # sort-shuffle. For a hot source at trillion-doc scale you replace
+    # exact ranking with a hash threshold (keep if md5 < quota/n in
+    # hex space) — same selection law, no global sort; the exact rank
+    # keeps the small-scale oracle byte-stable.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ),
+        w AS (SELECT source, n_docs, pow(n_docs, 0.5) AS sw FROM counts),
+        tot AS (SELECT SUM(sw) AS tsw FROM w),
+        quota AS (
+            SELECT source, n_docs,
+                   GREATEST(1, CAST(FLOOR(100 * sw / tsw + 0.5) AS BIGINT))
+                       AS quota
+            FROM w CROSS JOIN tot
+        ),
+        ranked AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+            FROM documents
+        )
+        SELECT q.source, q.n_docs, q.quota,
+               COUNT(*) AS n_kept,
+               CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
+        FROM ranked r JOIN quota q ON r.source = q.source AND r.rk <= q.quota
+        GROUP BY q.source, q.n_docs, q.quota
+    """)
+
+
+def _q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full blocking-quality metric pair (Christen 2012): pairs
+    # completeness (= candidate recall, what blocking_recall_tokens
+    # reports) PLUS reduction ratio (1 - candidates/all-pairs) on the
+    # same fixed probe subset — the two numbers you trade off when
+    # tuning bands/perms at 10^12 docs (more bands: completeness up,
+    # reduction down). Same token-shingle MinHash-LSH path as
+    # blocking_recall_tokens; the probe is fixed-size so total_pairs
+    # is exact and the brute-force truth join stays bounded at any
+    # corpus scale.
+    return _blocking_recall_impl(
+        spark, sf_dir, token_shingles=True, quality=True
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F12 — brute-force cosine/dot top-k over the embeddings table
     # (similarity-search baseline). Left-fold double sum in array order
@@ -2594,7 +2700,8 @@ def _q_blocking_recall_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _blocking_recall_impl(
-    spark: SparkSession, sf_dir: str, token_shingles: bool
+    spark: SparkSession, sf_dir: str, token_shingles: bool,
+    quality: bool = False,
 ) -> DataFrame:
     from kawa_spark.operators.blocking import (
         band_keys,
@@ -2661,13 +2768,34 @@ def _blocking_recall_impl(
         .select("doc_a", "doc_b")
     )
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
-    return (
+    counts = (
         truth.agg(F.count("*").alias("n_true"))
         .crossJoin(cand.agg(F.count("*").alias("n_cand")))
         .crossJoin(hit.agg(F.count("*").alias("n_hit")))
-        .select(
+    )
+    if not quality:
+        return counts.select(
             "n_true", "n_cand", "n_hit",
             F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+        )
+    # quality variant: add the probe size, the exact all-pairs count,
+    # and the reduction ratio alongside pairs completeness
+    return (
+        counts.crossJoin(docs.agg(F.count("*").alias("n_docs")))
+        .select(
+            "n_docs",
+            (F.col("n_docs") * (F.col("n_docs") - F.lit(1)) / F.lit(2))
+            .cast("bigint")
+            .alias("total_pairs"),
+            "n_true", "n_cand", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 4)
+            .alias("pairs_completeness"),
+        )
+        .withColumn(
+            "reduction_ratio",
+            F.round(
+                F.lit(1.0) - F.col("n_cand") / F.col("total_pairs"), 4
+            ),
         )
     )
 
@@ -3093,10 +3221,15 @@ _DRIVER_PRIORITY = [
     # cannot-link constrained clustering + CBS meta-blocking, no driver
     # row yet)
     "fs_pattern_weights", "constrained_cc", "meta_blocking",
+    # round-4 session-7 additions (Gopher-style quality gate,
+    # temperature-weighted domain subsampling, blocking-quality metric
+    # pair — no driver row yet)
+    "gopher_quality", "temperature_resample", "blocking_quality",
     # substantive operator queries (doubly-green, kept in-window)
-    "block_pairs_lev", "exact_dedup_fingerprint", "minhash_signature",
-    "ngram_jaccard", "ngram_lsh_dedup",
-    "cc_components", "ann_ivf",
+    "block_pairs_lev", "ngram_lsh_dedup", "cc_components", "ann_ivf",
+    # exact_dedup_fingerprint, minhash_signature, ngram_jaccard rotated
+    # out by session 7 (driver-green in BOTH r02 and r03 + local
+    # check_oracle evidence)
     # rotated out for the round-4 queries (each driver-green in BOTH
     # r02 and r03 + local check_oracle evidence): synonym_pivot,
     # hypernym_closure, ann_lsh (rotated by session 6), stopword_filter,
@@ -3182,6 +3315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fs_pattern_weights": _q_fs_pattern_weights,
             "constrained_cc": _q_constrained_cc,
             "meta_blocking": _q_meta_blocking,
+            "gopher_quality": _q_gopher_quality,
+            "temperature_resample": _q_temperature_resample,
+            "blocking_quality": _q_blocking_quality,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -3933,6 +4069,85 @@ def oracle_sql() -> dict[str, str]:
             ),
             "ann_recall": _duckdb_ann_recall_sql(),
             "ann_recall_multi": _duckdb_ann_recall_multi_sql(),
+            "blocking_quality": _duckdb_blocking_recall_sql(
+                perms=8, n=3, bands=2, max_doc=200, token_shingles=True,
+                quality=True,
+            ),
+            # Gopher-style quality gate: same integer-count signals as
+            # the Spark plan (DuckDB list dialect), corpus-level ratios
+            # are one final division so both engines agree bit-exactly
+            "gopher_quality": """
+                WITH feats AS (
+                    SELECT lang,
+                           len(string_split(text, ' ')) AS word_cnt,
+                           length(replace(text, ' ', '')) AS char_cnt,
+                           length(text) - length(replace(text, '#', ''))
+                               AS hash_cnt,
+                           len(list_filter(string_split(lower(text), ' '),
+                               w -> regexp_matches(w, '^[^a-z]+$')))
+                               AS nonalpha_cnt,
+                           len(list_filter(string_split(lower(text), ' '),
+                               w -> list_contains(
+                                   ['the','of','and','to','a','in',
+                                    'is','that'], w)))
+                               AS stop_cnt
+                    FROM documents
+                )
+                SELECT lang,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(CASE WHEN word_cnt BETWEEN 10 AND 5000
+                                      AND char_cnt / CAST(word_cnt AS DOUBLE)
+                                          BETWEEN 2.0 AND 12.0
+                                      AND hash_cnt / CAST(word_cnt AS DOUBLE)
+                                          <= 0.1
+                                      AND nonalpha_cnt
+                                          / CAST(word_cnt AS DOUBLE) <= 0.3
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                       CAST(SUM(CASE WHEN stop_cnt > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_stopword_docs,
+                       ROUND(SUM(char_cnt)
+                             / CAST(SUM(word_cnt) AS DOUBLE), 6)
+                           AS mean_word_len,
+                       ROUND(SUM(hash_cnt)
+                             / CAST(SUM(word_cnt) AS DOUBLE), 6)
+                           AS symbol_ratio,
+                       ROUND(SUM(nonalpha_cnt)
+                             / CAST(SUM(word_cnt) AS DOUBLE), 6)
+                           AS nonalpha_ratio
+                FROM feats
+                GROUP BY lang
+            """,
+            # temperature-weighted domain subsampling: identical
+            # sqrt-weight quota law and identical md5 rank order
+            "temperature_resample": """
+                WITH counts AS (
+                    SELECT source, COUNT(*) AS n_docs
+                    FROM documents GROUP BY source
+                ),
+                w AS (SELECT source, n_docs, pow(n_docs, 0.5) AS sw
+                      FROM counts),
+                tot AS (SELECT SUM(sw) AS tsw FROM w),
+                quota AS (
+                    SELECT source, n_docs,
+                           GREATEST(1, CAST(FLOOR(100 * sw / tsw + 0.5)
+                                            AS BIGINT)) AS quota
+                    FROM w CROSS JOIN tot
+                ),
+                ranked AS (
+                    SELECT source, doc_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY source
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                        doc_id) AS rk
+                    FROM documents
+                )
+                SELECT q.source, q.n_docs, q.quota,
+                       COUNT(*) AS n_kept,
+                       CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
+                FROM ranked r
+                JOIN quota q ON r.source = q.source AND r.rk <= q.quota
+                GROUP BY q.source, q.n_docs, q.quota
+            """,
             # plain one-stage GROUP BY: the salted two-stage Spark plan
             # must be semantically invisible
             "salted_agg": """
@@ -4167,6 +4382,7 @@ def _duckdb_blocking_recall_sql(
     bands: int = 2,
     max_doc: int = 200,
     token_shingles: bool = False,
+    quality: bool = False,
 ) -> str:
     """DuckDB mirror of blocking_recall[_tokens]: identical md5 MinHash
     band keys (see _duckdb_ngram_lsh_sql) on the doc_id < max_doc probe
@@ -4205,6 +4421,33 @@ def _duckdb_blocking_recall_sql(
                               ELSE lower(text) END AS padded
                   FROM docs) p
         """
+    if quality:
+        final_select = """
+        SELECT (SELECT COUNT(*) FROM docs) AS n_docs,
+               CAST((SELECT COUNT(*) FROM docs)
+                    * ((SELECT COUNT(*) FROM docs) - 1) / 2 AS BIGINT)
+                   AS total_pairs,
+               (SELECT COUNT(*) FROM truth) AS n_true,
+               (SELECT COUNT(*) FROM cand) AS n_cand,
+               (SELECT COUNT(*) FROM hit) AS n_hit,
+               ROUND((SELECT COUNT(*) FROM hit)
+                     / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 4)
+                   AS pairs_completeness,
+               ROUND(1.0 - (SELECT COUNT(*) FROM cand)
+                     / CAST((SELECT COUNT(*) FROM docs)
+                            * ((SELECT COUNT(*) FROM docs) - 1) / 2
+                            AS DOUBLE), 4)
+                   AS reduction_ratio
+        """
+    else:
+        final_select = """
+        SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+               (SELECT COUNT(*) FROM cand) AS n_cand,
+               (SELECT COUNT(*) FROM hit) AS n_hit,
+               ROUND((SELECT COUNT(*) FROM hit)
+                     / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 4)
+                   AS recall
+        """
     return f"""
         WITH docs AS (SELECT doc_id, text FROM documents
                       WHERE doc_id < {max_doc}),
@@ -4234,12 +4477,7 @@ def _duckdb_blocking_recall_sql(
             WHERE EXISTS (SELECT 1 FROM cand c
                           WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
         )
-        SELECT (SELECT COUNT(*) FROM truth) AS n_true,
-               (SELECT COUNT(*) FROM cand) AS n_cand,
-               (SELECT COUNT(*) FROM hit) AS n_hit,
-               ROUND((SELECT COUNT(*) FROM hit)
-                     / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 4)
-                   AS recall
+        {final_select}
     """
 
 

@@ -61,6 +61,10 @@ def test_window_carries_the_r03_gap_queries():
         "chunk_dedup", "hash_split", "stratified_sample",
         # round-4 session-5 additions (no driver row yet)
         "dup_span_coverage", "surt_host_stats",
+        # round-4 session-6 additions (no driver row yet)
+        "fs_pattern_weights", "constrained_cc", "meta_blocking",
+        # round-4 session-7 additions (no driver row yet)
+        "gopher_quality", "temperature_resample", "blocking_quality",
     } | ROWS_ONLY
     assert must_gate <= set(entry._DRIVER_PRIORITY)
 
