@@ -1615,6 +1615,109 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sorted-neighborhood blocking (Hernandez & Stolfo 1995) over the
+    # documents table: rank by a 12-char lowercase prefix key, emit all
+    # pairs within window 4, report how many are exact duplicates /
+    # same-language — the classic complement to hash blocking (catches
+    # sort-adjacent near-misses that share no exact key).
+    # 100-TB shape: global rank WITHOUT the single-task ROW_NUMBER trap
+    # (range partition + local rank + per-partition offset shift,
+    # driver state = one row per partition), then the rank-bucket
+    # equi-join from the temporal range join — each bucket holds
+    # exactly `window` consecutive ranks, so task input is uniformly
+    # bounded by construction: the one blocking scheme with NO hot-key
+    # hazard (key skew becomes rank adjacency, never a giant bucket).
+    # See kawa_spark/operators/blocking.py:sorted_neighborhood_pairs.
+    from kawa_spark.operators.blocking import sorted_neighborhood_pairs
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, 12).alias("skey"),
+        F.md5(F.col("text")).alias("fp"),
+        "lang",
+    )
+    pairs = sorted_neighborhood_pairs(
+        docs, ["skey"], "doc_id", window=4, payload_cols=("fp", "lang")
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("fp_a") == F.col("fp_b"), 1).otherwise(0)
+        ).cast("bigint").alias("n_exact_dup"),
+        F.sum(
+            F.when(F.col("lang_a") == F.col("lang_b"), 1).otherwise(0)
+        ).cast("bigint").alias("n_same_lang"),
+    )
+
+
+def _q_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B-cubed extrinsic clustering evaluation (Bagga & Baldwin 1998) —
+    # the standard ER cluster metric beyond pairwise F1: per-item
+    # precision |C(i) ∩ T(i)| / |C(i)| and recall over |T(i)|,
+    # averaged. Here: predicted = 16-bit SimHash buckets (the
+    # simhash_dedup signature), truth = exact-text groups; recall is
+    # 1.0 by construction (identical text → identical signature) and
+    # precision measures near-dup + collision over-merge.
+    # Exactness under distribution: per-(pkey,tkey) contributions are
+    # floored into integer micro-units (1e-6) BEFORE the global sum —
+    # bigint sums are summation-order independent, so the result is
+    # stable under AQE/partitioning and engine-exact; the only float
+    # ops are one division per group and the final ratios (identical
+    # IEEE in both engines). All aggs are partial-map-side; no windows.
+    _views(spark, sf_dir)
+    h = _hash60_sql("tok")
+    return spark.sql(f"""
+        WITH sims AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0
+                            THEN CAST(shiftleft(CAST(1 AS BIGINT), b)
+                                      AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS pkey
+            FROM (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN shiftright(h, b) % 2 = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM (
+                    SELECT doc_id, {h} AS h
+                    FROM (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       explode(split(lower(text), ' ')) AS tok
+                                FROM documents) e) t
+                ) hh
+                LATERAL VIEW explode(sequence(0, 15)) s AS b
+                GROUP BY doc_id, b
+            ) votes
+            GROUP BY doc_id
+        ),
+        j AS (
+            SELECT s.doc_id, s.pkey, md5(d.text) AS tkey
+            FROM sims s JOIN documents d ON s.doc_id = d.doc_id
+        ),
+        pt AS (SELECT pkey, tkey, COUNT(*) AS n_pt FROM j GROUP BY pkey, tkey),
+        p AS (SELECT pkey, SUM(n_pt) AS n_p FROM pt GROUP BY pkey),
+        tt AS (SELECT tkey, SUM(n_pt) AS n_t FROM pt GROUP BY tkey),
+        tot AS (SELECT SUM(n_pt) AS n FROM pt),
+        prec AS (
+            SELECT SUM(CAST(FLOOR(1e6 * pt.n_pt * pt.n_pt / p.n_p)
+                            AS BIGINT)) AS micro_p
+            FROM pt JOIN p ON pt.pkey = p.pkey
+        ),
+        rec AS (
+            SELECT SUM(CAST(FLOOR(1e6 * pt.n_pt * pt.n_pt / tt.n_t)
+                            AS BIGINT)) AS micro_r
+            FROM pt JOIN tt ON pt.tkey = tt.tkey
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               ROUND(micro_p / (1e6 * n), 6) AS b3_precision,
+               ROUND(micro_r / (1e6 * n), 6) AS b3_recall,
+               ROUND(2.0 * micro_p * micro_r
+                     / (1e6 * n * (micro_p + micro_r)), 6) AS b3_f1
+        FROM tot CROSS JOIN prec CROSS JOIN rec
+    """)
+
+
 def _q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G1/G2 — connected components over a brand-type co-occurrence
     # graph, via the pipeline's large-star/small-star operator; the
@@ -3225,11 +3328,13 @@ _DRIVER_PRIORITY = [
     # temperature-weighted domain subsampling, blocking-quality metric
     # pair — no driver row yet)
     "gopher_quality", "temperature_resample", "blocking_quality",
+    "sorted_neighborhood", "bcubed_eval",
     # substantive operator queries (doubly-green, kept in-window)
-    "block_pairs_lev", "ngram_lsh_dedup", "cc_components", "ann_ivf",
+    "cc_components", "ann_ivf",
     # exact_dedup_fingerprint, minhash_signature, ngram_jaccard rotated
     # out by session 7 (driver-green in BOTH r02 and r03 + local
-    # check_oracle evidence)
+    # check_oracle evidence); block_pairs_lev, ngram_lsh_dedup rotated
+    # likewise for sorted_neighborhood + bcubed_eval
     # rotated out for the round-4 queries (each driver-green in BOTH
     # r02 and r03 + local check_oracle evidence): synonym_pivot,
     # hypernym_closure, ann_lsh (rotated by session 6), stopword_filter,
@@ -3318,6 +3423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_quality": _q_gopher_quality,
             "temperature_resample": _q_temperature_resample,
             "blocking_quality": _q_blocking_quality,
+            "sorted_neighborhood": _q_sorted_neighborhood,
+            "bcubed_eval": _q_bcubed_eval,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -3623,6 +3730,75 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY doc_id, b
                 ) votes
                 GROUP BY doc_id
+            """,
+            "sorted_neighborhood": """
+                WITH d AS (
+                    SELECT doc_id, substr(lower(text), 1, 12) AS skey,
+                           md5(text) AS fp, lang
+                    FROM documents
+                ),
+                r AS (
+                    SELECT *, ROW_NUMBER() OVER (ORDER BY skey, doc_id)
+                               AS rank
+                    FROM d
+                )
+                SELECT COUNT(*) AS n_pairs,
+                       CAST(SUM(CASE WHEN a.fp = b.fp THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_exact_dup,
+                       CAST(SUM(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_same_lang
+                FROM r a JOIN r b
+                  ON b.rank > a.rank AND b.rank - a.rank <= 3
+            """,
+            "bcubed_eval": f"""
+                WITH sims AS (
+                    SELECT doc_id,
+                           CAST(SUM(CASE WHEN v > 0
+                                    THEN (CAST(1 AS BIGINT) << b)
+                                    ELSE 0 END) AS BIGINT) AS pkey
+                    FROM (
+                        SELECT doc_id, b,
+                               SUM(CASE WHEN (h >> b) & 1 = 1
+                                   THEN 1 ELSE -1 END) AS v
+                        FROM (
+                            SELECT doc_id, {_hash60_duck("tok")} AS h
+                            FROM (SELECT DISTINCT doc_id, tok
+                                  FROM (SELECT doc_id,
+                                               unnest(string_split(lower(text), ' ')) AS tok
+                                        FROM documents) e) t
+                        ) hh
+                        CROSS JOIN (SELECT unnest(generate_series(0, 15))
+                                    AS b) s
+                        GROUP BY doc_id, b
+                    ) votes
+                    GROUP BY doc_id
+                ),
+                j AS (
+                    SELECT s.doc_id, s.pkey, md5(d.text) AS tkey
+                    FROM sims s JOIN documents d ON s.doc_id = d.doc_id
+                ),
+                pt AS (SELECT pkey, tkey, COUNT(*) AS n_pt
+                       FROM j GROUP BY pkey, tkey),
+                p AS (SELECT pkey, SUM(n_pt) AS n_p FROM pt GROUP BY pkey),
+                tt AS (SELECT tkey, SUM(n_pt) AS n_t FROM pt GROUP BY tkey),
+                tot AS (SELECT SUM(n_pt) AS n FROM pt),
+                prec AS (
+                    SELECT SUM(CAST(FLOOR(1e6 * pt.n_pt * pt.n_pt
+                                          / p.n_p) AS BIGINT)) AS micro_p
+                    FROM pt JOIN p ON pt.pkey = p.pkey
+                ),
+                rec AS (
+                    SELECT SUM(CAST(FLOOR(1e6 * pt.n_pt * pt.n_pt
+                                          / tt.n_t) AS BIGINT)) AS micro_r
+                    FROM pt JOIN tt ON pt.tkey = tt.tkey
+                )
+                SELECT CAST(n AS BIGINT) AS n_docs,
+                       ROUND(micro_p / (1e6 * n), 6) AS b3_precision,
+                       ROUND(micro_r / (1e6 * n), 6) AS b3_recall,
+                       ROUND(2.0 * micro_p * micro_r
+                             / (1e6 * n * (micro_p + micro_r)), 6)
+                           AS b3_f1
+                FROM tot CROSS JOIN prec CROSS JOIN rec
             """,
             "fs_pattern_weights": _fs_oracle_sql(),
             "meta_blocking": f"""

@@ -436,3 +436,118 @@ def meta_block_pairs(
         .agg(F.count_distinct(F.col(key_col)).alias("cbs"))
         .filter(F.col("cbs") >= min_shared)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global 1-based rank over a total order WITHOUT the
+    single-task trap: ``row_number() OVER (ORDER BY ...)`` with no
+    PARTITION BY collapses the whole table into one window task, which
+    is a scale-killer at 10^12 rows. Instead: range-partition on the
+    order columns (non-overlapping, ordered ranges per partition id),
+    rank locally per partition, then shift each partition by the total
+    count of all earlier partitions. The only driver-side state is one
+    row per partition (the count table) — O(parallelism), not O(rows).
+
+    ``order_cols`` must be a unique total order (append a unique id as
+    the last column); ranks are then independent of partitioning and
+    sampling, so the output is deterministic and oracle-comparable.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    from pyspark.sql.window import Window
+
+    local = part.withColumn(
+        "_lr", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    )
+    # PIN the partitioning before anything reads it twice:
+    # repartitionByRange SAMPLES boundaries per evaluation, so without
+    # materialization the counts collect below and the downstream join
+    # would each re-evaluate with different boundaries — offsets from
+    # one partitioning applied to another yields duplicate/overlapping
+    # ranks (observed at sf0.1: +438 phantom pairs). On a cluster this
+    # is a reliable checkpoint; locally localCheckpoint suffices.
+    local = local.localCheckpoint(eager=True)
+    # one tiny action: #partitions rows through the driver
+    counts = sorted(
+        local.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_pid"], acc))
+        acc += r["count"]
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], ["_pid", "_off"])
+    )
+    return (
+        local.join(off, "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lr")).cast("bigint"))
+        .drop("_pid", "_lr", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_cols: list[str],
+    id_col: str,
+    window: int = 4,
+    payload_cols: tuple[str, ...] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995):
+    rank all records by a sort key and emit every pair within ``window``
+    ranks of each other — the classic complement to hash blocking
+    (catches near-misses that share no exact key but sort adjacently,
+    e.g. typos in a name's tail).
+
+    Distributed shape: :func:`global_rank` (range partition + local
+    rank + offset shift; no single-task window), then the same
+    time-bucket trick as the temporal range join — bucket b =
+    floor(rank / window); a pair with rank distance in [1, window-1]
+    lives in the same or adjacent buckets, so the left side probes
+    {b, b+1} and the join is a plain equi-join on the bucket. Every
+    bucket holds exactly ``window`` consecutive ranks, so task input is
+    uniformly bounded by construction — sorted-neighborhood is the one
+    blocking scheme with NO hot-key problem (skew in the key space
+    becomes adjacency in rank space, never a giant bucket).
+
+    Output: (id_a, id_b, rank_a, rank_b, <p>_a, <p>_b ...), one row per
+    pair, rank_a < rank_b.
+    """
+    ranked = global_rank(
+        df, [*sort_cols, id_col], rank_col="rank",
+        num_partitions=num_partitions,
+    )
+    bkt = ranked.withColumn(
+        "_bkt", F.floor(F.col("rank") / F.lit(window)).cast("bigint")
+    )
+    probes = bkt.withColumn(
+        "_probe", F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1))
+    )
+    cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.rank").alias("rank_a"),
+        F.col("b.rank").alias("rank_b"),
+    ]
+    for p in payload_cols:
+        cols.append(F.col(f"a.{p}").alias(f"{p}_a"))
+        cols.append(F.col(f"b.{p}").alias(f"{p}_b"))
+    return (
+        probes.alias("a")
+        .join(bkt.alias("b"), F.col("a._probe") == F.col("b._bkt"))
+        .filter(
+            (F.col("b.rank") > F.col("a.rank"))
+            & (F.col("b.rank") - F.col("a.rank") <= window - 1)
+        )
+        .select(*cols)
+    )

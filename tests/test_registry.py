@@ -65,6 +65,7 @@ def test_window_carries_the_r03_gap_queries():
         "fs_pattern_weights", "constrained_cc", "meta_blocking",
         # round-4 session-7 additions (no driver row yet)
         "gopher_quality", "temperature_resample", "blocking_quality",
+        "sorted_neighborhood", "bcubed_eval",
     } | ROWS_ONLY
     assert must_gate <= set(entry._DRIVER_PRIORITY)
 
