@@ -1718,6 +1718,96 @@ def _q_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_ari_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adjusted Rand Index (Hubert & Arabie 1985) between the SimHash
+    # bucket clustering and the lang partition as truth — the
+    # pair-counting counterpart to bcubed_eval (B³ is item-averaged,
+    # ARI is chance-corrected over pairs; reporting both is standard ER
+    # eval practice). lang is the truth key (rather than bcubed's
+    # md5(text)) so both marginals are non-degenerate on a corpus with
+    # no exact dups. Everything up to the final formula is exact BIGINT
+    # arithmetic (co-occurrence pair counts via C(x,2) = x(x-1)/2,
+    # always even), so the sums are summation-order independent; the
+    # one float expression at the end is identical IEEE in both
+    # engines. Same partial-agg shapes as bcubed_eval; no windows.
+    _views(spark, sf_dir)
+    h = _hash60_sql("tok")
+    return spark.sql(f"""
+        WITH sims AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0
+                            THEN CAST(shiftleft(CAST(1 AS BIGINT), b)
+                                      AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS pkey
+            FROM (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN shiftright(h, b) % 2 = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM (
+                    SELECT doc_id, {h} AS h
+                    FROM (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       explode(split(lower(text), ' ')) AS tok
+                                FROM documents) e) t
+                ) hh
+                LATERAL VIEW explode(sequence(0, 15)) s AS b
+                GROUP BY doc_id, b
+            ) votes
+            GROUP BY doc_id
+        ),
+        j AS (
+            SELECT s.doc_id, s.pkey, d.lang AS tkey
+            FROM sims s JOIN documents d ON s.doc_id = d.doc_id
+        ),
+        pt AS (SELECT pkey, tkey, COUNT(*) AS n_pt FROM j GROUP BY pkey, tkey),
+        sums AS (
+            SELECT CAST(SUM(n_pt) AS BIGINT) AS n,
+                   CAST(SUM(n_pt * (n_pt - 1) / 2) AS BIGINT) AS sum_pt
+            FROM pt
+        ),
+        sp AS (
+            SELECT CAST(SUM(n_p * (n_p - 1) / 2) AS BIGINT) AS sum_p
+            FROM (SELECT SUM(n_pt) AS n_p FROM pt GROUP BY pkey) g
+        ),
+        st AS (
+            SELECT CAST(SUM(n_t * (n_t - 1) / 2) AS BIGINT) AS sum_t
+            FROM (SELECT SUM(n_pt) AS n_t FROM pt GROUP BY tkey) g
+        )
+        SELECT n AS n_docs, sum_pt, sum_p, sum_t,
+               ROUND(
+                   (sum_pt - sum_p * sum_t / (n * (n - 1e0) / 2))
+                   / (0.5e0 * (sum_p + sum_t)
+                      - sum_p * sum_t / (n * (n - 1e0) / 2)), 6) AS ari
+        FROM sums CROSS JOIN sp CROSS JOIN st
+    """)
+
+
+def _q_block_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocking-key skew diagnostic: the log2 histogram of block sizes
+    # under first-token blocking — the number you look at BEFORE
+    # setting hot_key_threshold / hot_key_groups (how heavy is the
+    # tail? how big is the hottest block?). The log2 bin is computed
+    # integer-exactly as length(bin(size)) = floor(log2)+1, avoiding
+    # any libm log() whose last-ulp could differ between engines.
+    # 100-TB shape: two partial-agg exchanges (key count, then bin
+    # rollup), output bounded at ~64 rows at any corpus size.
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH blocks AS (
+            SELECT split_part(lower(text), ' ', 1) AS bkey,
+                   COUNT(*) AS sz
+            FROM documents
+            GROUP BY 1
+        )
+        SELECT length(bin(sz)) AS sz_bin,
+               COUNT(*) AS n_blocks,
+               CAST(SUM(sz) AS BIGINT) AS n_rows,
+               CAST(MAX(sz) AS BIGINT) AS max_block
+        FROM blocks
+        GROUP BY 1
+    """)
+
+
 def _q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G1/G2 — connected components over a brand-type co-occurrence
     # graph, via the pipeline's large-star/small-star operator; the
@@ -3329,8 +3419,10 @@ _DRIVER_PRIORITY = [
     # pair — no driver row yet)
     "gopher_quality", "temperature_resample", "blocking_quality",
     "sorted_neighborhood", "bcubed_eval",
-    # substantive operator queries (doubly-green, kept in-window)
-    "cc_components", "ann_ivf",
+    # round-4 session-8 additions (ARI cluster agreement + block-size
+    # skew histogram, no driver row yet); cc_components and ann_ivf
+    # rotated out for these (each driver-green in BOTH r02 and r03)
+    "ari_eval", "block_size_histogram",
     # exact_dedup_fingerprint, minhash_signature, ngram_jaccard rotated
     # out by session 7 (driver-green in BOTH r02 and r03 + local
     # check_oracle evidence); block_pairs_lev, ngram_lsh_dedup rotated
@@ -3425,6 +3517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "blocking_quality": _q_blocking_quality,
             "sorted_neighborhood": _q_sorted_neighborhood,
             "bcubed_eval": _q_bcubed_eval,
+            "ari_eval": _q_ari_eval,
+            "block_size_histogram": _q_block_size_histogram,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -3799,6 +3893,71 @@ def oracle_sql() -> dict[str, str]:
                              / (1e6 * n * (micro_p + micro_r)), 6)
                            AS b3_f1
                 FROM tot CROSS JOIN prec CROSS JOIN rec
+            """,
+            "ari_eval": f"""
+                WITH sims AS (
+                    SELECT doc_id,
+                           CAST(SUM(CASE WHEN v > 0
+                                    THEN (CAST(1 AS BIGINT) << b)
+                                    ELSE 0 END) AS BIGINT) AS pkey
+                    FROM (
+                        SELECT doc_id, b,
+                               SUM(CASE WHEN (h >> b) & 1 = 1
+                                   THEN 1 ELSE -1 END) AS v
+                        FROM (
+                            SELECT doc_id, {_hash60_duck("tok")} AS h
+                            FROM (SELECT DISTINCT doc_id, tok
+                                  FROM (SELECT doc_id,
+                                               unnest(string_split(lower(text), ' ')) AS tok
+                                        FROM documents) e) t
+                        ) hh
+                        CROSS JOIN (SELECT unnest(generate_series(0, 15))
+                                    AS b) s
+                        GROUP BY doc_id, b
+                    ) votes
+                    GROUP BY doc_id
+                ),
+                j AS (
+                    SELECT s.doc_id, s.pkey, d.lang AS tkey
+                    FROM sims s JOIN documents d ON s.doc_id = d.doc_id
+                ),
+                pt AS (SELECT pkey, tkey, COUNT(*) AS n_pt
+                       FROM j GROUP BY pkey, tkey),
+                sums AS (
+                    SELECT CAST(SUM(n_pt) AS BIGINT) AS n,
+                           CAST(SUM(n_pt * (n_pt - 1) / 2) AS BIGINT)
+                               AS sum_pt
+                    FROM pt
+                ),
+                sp AS (
+                    SELECT CAST(SUM(n_p * (n_p - 1) / 2) AS BIGINT) AS sum_p
+                    FROM (SELECT SUM(n_pt) AS n_p FROM pt GROUP BY pkey) g
+                ),
+                st AS (
+                    SELECT CAST(SUM(n_t * (n_t - 1) / 2) AS BIGINT) AS sum_t
+                    FROM (SELECT SUM(n_pt) AS n_t FROM pt GROUP BY tkey) g
+                )
+                SELECT n AS n_docs, sum_pt, sum_p, sum_t,
+                       ROUND(
+                           (sum_pt - sum_p * sum_t / (n * (n - 1e0) / 2))
+                           / (0.5e0 * (sum_p + sum_t)
+                              - sum_p * sum_t / (n * (n - 1e0) / 2)), 6)
+                           AS ari
+                FROM sums CROSS JOIN sp CROSS JOIN st
+            """,
+            "block_size_histogram": """
+                WITH blocks AS (
+                    SELECT split_part(lower(text), ' ', 1) AS bkey,
+                           COUNT(*) AS sz
+                    FROM documents
+                    GROUP BY 1
+                )
+                SELECT length(bin(sz)) AS sz_bin,
+                       COUNT(*) AS n_blocks,
+                       CAST(SUM(sz) AS BIGINT) AS n_rows,
+                       CAST(MAX(sz) AS BIGINT) AS max_block
+                FROM blocks
+                GROUP BY 1
             """,
             "fs_pattern_weights": _fs_oracle_sql(),
             "meta_blocking": f"""

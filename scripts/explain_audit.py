@@ -199,6 +199,73 @@ CHECKS = {
             r"ReadSchema: struct<p_name:string(,p_brand:string)?>", p)
          is not None),
     ],
+    # Gopher quality gate: all signals are JVM-side codegen expressions
+    # over one pruned scan with a map-side partial agg — no Python, no
+    # join, no window
+    "gopher_quality": [
+        ("scan prunes to text+lang", lambda p: re.search(
+            r"ReadSchema: struct<text:string,lang:string>", p) is not None),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("no join at all", lambda p: "Join" not in p),
+        ("map-side partial agg before the lang exchange", lambda p:
+         "partial_" in p),
+    ],
+    # temperature resampling: the quota table is a tiny agg; the ONLY
+    # big exchange is the per-source rank sort-shuffle. The 1-row
+    # total-weight scalar crosses on via one BNLJ (2 plan occurrences
+    # = 1 node) by design.
+    "temperature_resample": [
+        ("scan prunes to doc_id+source", lambda p: re.search(
+            r"ReadSchema: struct<doc_id:bigint,source:string>", p)
+         is not None),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("only the scalar-total BNLJ", lambda p:
+         p.count("BroadcastNestedLoopJoin") <= 2),
+        ("per-source window (partition spec kept)", lambda p:
+         "Window" in p),
+    ],
+    # sorted-neighborhood: every row_number window must keep a
+    # partition spec (_pid) — a partition-less global window is the
+    # single-task scale-killer this operator exists to avoid — and the
+    # rank-bucket join must stay an equi join
+    "sorted_neighborhood": [
+        ("rank windows are partitioned (_pid)", lambda p: all(
+            "_pid" in ln for ln in p.splitlines()
+            if "row_number" in ln and "Window" in ln)),
+        ("rank-bucket join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # B-cubed: pure aggregate pipeline — partial aggs before every
+    # exchange, equi joins only, no Python
+    "bcubed_eval": [
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no cartesian beyond the 1-row scalar crosses", lambda p:
+         "CartesianProduct" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # ARI: same aggregate-pipeline shape as bcubed_eval — the only
+    # joins are the doc_id equi-join and the 1-row scalar crosses
+    "ari_eval": [
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no cartesian beyond the 1-row scalar crosses", lambda p:
+         "CartesianProduct" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # block-size histogram: one pruned scan, two partial-agg
+    # exchanges, bounded output — no join, no window, no Python
+    "block_size_histogram": [
+        ("scan prunes to text only", lambda p: re.search(
+            r"ReadSchema: struct<text:string>", p) is not None),
+        ("no join at all", lambda p: "Join" not in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
     # canonical-representative election: window + agg over one
     # partitioning — no join, no cartesian
     "cluster_canonical": [
