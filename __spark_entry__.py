@@ -3378,6 +3378,80 @@ def _q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_block_pairs(keyed, min_shared=2)
 
 
+def _q_meta_blocking_wep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Meta-blocking with WEP (weighted edge pruning): same CBS weights
+    # as `meta_blocking`, but the cut is the data-dependent mean weight
+    # over all candidate pairs (kept where cbs > mean) instead of a
+    # fixed min_shared — the published adaptive threshold
+    # (operators/blocking.py:meta_block_pairs_wep). The comparison is
+    # integer-exact (cbs * n > total), so no float crosses the gate.
+    from kawa_spark.operators.blocking import meta_block_pairs_wep
+
+    _views(spark, sf_dir)
+    keyed = spark.sql(_META_KEYED_SQL)
+    return meta_block_pairs_wep(keyed)
+
+
+def _q_dynamic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dynamic blocking (recursive oversized-block splitting,
+    # operators/blocking.py:dynamic_block_keys): first-token blocks
+    # larger than max_block re-key on the first TWO tokens, then three
+    # (terminal). Non-redundant single assignment; every non-terminal
+    # block is <= max_block by construction — the comparison-budget
+    # lever before pair generation. Per level: one partial-agg size
+    # shuffle + one equi-join; output is the (level, block_key) size
+    # table.
+    from kawa_spark.operators.blocking import dynamic_block_keys
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    key_fns = [
+        (lambda d, i=i: F.concat_ws(" ", F.slice(F.col("toks"), 1, i)))
+        for i in (1, 2, 3)
+    ]
+    assigned = dynamic_block_keys(docs, key_fns, max_block=8, id_col="doc_id")
+    return assigned.groupBy("level", "block_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+
+
+_DYNAMIC_BLOCKING_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    l1 AS (SELECT doc_id, toks, array_to_string(toks[1:1], ' ') AS k FROM t),
+    c1 AS (SELECT k, COUNT(*) AS sz FROM l1 GROUP BY k),
+    a1 AS (
+        SELECT 1 AS level, concat('L1:', l1.k) AS block_key
+        FROM l1 JOIN c1 USING (k) WHERE c1.sz <= 8
+    ),
+    r1 AS (
+        SELECT doc_id, toks FROM l1 JOIN c1 USING (k) WHERE c1.sz > 8
+    ),
+    l2 AS (SELECT doc_id, toks, array_to_string(toks[1:2], ' ') AS k FROM r1),
+    c2 AS (SELECT k, COUNT(*) AS sz FROM l2 GROUP BY k),
+    a2 AS (
+        SELECT 2 AS level, concat('L2:', l2.k) AS block_key
+        FROM l2 JOIN c2 USING (k) WHERE c2.sz <= 8
+    ),
+    r2 AS (
+        SELECT doc_id, toks FROM l2 JOIN c2 USING (k) WHERE c2.sz > 8
+    ),
+    a3 AS (
+        SELECT 3 AS level,
+               concat('L3:', array_to_string(toks[1:3], ' ')) AS block_key
+        FROM r2
+    )
+    SELECT level, block_key, COUNT(*) AS sz
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+          UNION ALL SELECT * FROM a3) u
+    GROUP BY level, block_key
+"""
+
+
 # The driver's correctness gate runs exactly the FIRST 50 entries of
 # queries() (observed r02/r03 behavior; README "driver-gate cap"). This
 # list pins which queries land in that window each round: queries that
@@ -3519,6 +3593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bcubed_eval": _q_bcubed_eval,
             "ari_eval": _q_ari_eval,
             "block_size_histogram": _q_block_size_histogram,
+            "dynamic_blocking": _q_dynamic_blocking,
+            "meta_blocking_wep": _q_meta_blocking_wep,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -3958,6 +4034,22 @@ def oracle_sql() -> dict[str, str]:
                        CAST(MAX(sz) AS BIGINT) AS max_block
                 FROM blocks
                 GROUP BY 1
+            """,
+            "dynamic_blocking": _DYNAMIC_BLOCKING_ORACLE,
+            "meta_blocking_wep": f"""
+                WITH keyed AS ({_META_KEYED_SQL}),
+                w AS (
+                    SELECT a.mention_id AS id_a, b.mention_id AS id_b,
+                           COUNT(DISTINCT a.block_key) AS cbs
+                    FROM keyed a
+                    JOIN keyed b ON a.block_key = b.block_key
+                                AND a.mention_id < b.mention_id
+                    GROUP BY a.mention_id, b.mention_id
+                ),
+                t AS (SELECT SUM(cbs) AS total, COUNT(*) AS n FROM w)
+                SELECT id_a, id_b, cbs
+                FROM w CROSS JOIN t
+                WHERE cbs * n > total
             """,
             "fs_pattern_weights": _fs_oracle_sql(),
             "meta_blocking": f"""

@@ -551,3 +551,114 @@ def sorted_neighborhood_pairs(
         )
         .select(*cols)
     )
+
+
+def dynamic_block_keys(
+    df: DataFrame,
+    key_fns,
+    max_block: int,
+    id_col: str = "mention_id",
+) -> DataFrame:
+    """Dynamic blocking (the recursive block-splitting scheme of
+    McNeill/Kardes/Borthwick "Dynamic Record Blocking", and the
+    oversized-block refinement in Bilenko's adaptive blocking line):
+    rows start in the coarsest key space; any block larger than
+    ``max_block`` moves ALL its rows down to the next, finer key space,
+    recursively, until the block fits or key spaces run out. The result
+    is a single non-redundant blocking assignment whose block sizes are
+    bounded by construction everywhere a finer key can still split —
+    the comparison-budget lever that keeps pair generation O(n·s_max)
+    instead of O(s_hot²) at 10^12 docs.
+
+    ``key_fns`` — coarse-to-fine list of callables, each mapping the
+    remaining DataFrame to a key Column (e.g. first token, first two
+    tokens, ...). A block that a finer key cannot split (all rows map
+    to the same finer key — e.g. one-token texts) simply rides down to
+    the terminal level; terminal blocks may therefore still exceed
+    ``max_block`` and MUST be pair-generated via
+    :func:`bounded_self_pairs`, exactly like any other hot key.
+
+    Per level: one partial-agg size shuffle + one equi-join of the size
+    table back onto the rows (no window — a window partition would
+    materialize the entire hot block in one task; the groupBy's
+    map-side combine never does). The level-(i+1) input is the level-i
+    oversized remainder, so total work is sum of remainder sizes —
+    geometric in practice (each split divides hot blocks by the finer
+    key's fan-out).
+
+    Returns ``(id_col, block_key, level)`` with ``level`` 1-based; keys
+    are prefixed ``L{level}:`` so equal strings from different levels
+    never collide into one block downstream.
+    """
+    if not key_fns:
+        raise ValueError("dynamic_block_keys needs at least one key_fn")
+    remaining = df
+    levels: list[DataFrame] = []
+    for level, kf in enumerate(key_fns, 1):
+        keyed = remaining.withColumn("_dk", kf(remaining))
+        terminal = level == len(key_fns)
+        assigned_key = F.concat(
+            F.lit(f"L{level}:"), F.col("_dk")
+        ).alias("block_key")
+        if terminal:
+            levels.append(
+                keyed.select(
+                    F.col(id_col), assigned_key, F.lit(level).alias("level")
+                )
+            )
+            break
+        sizes = keyed.groupBy("_dk").agg(F.count(F.lit(1)).alias("_sz"))
+        keyed = keyed.join(sizes, "_dk")
+        levels.append(
+            keyed.filter(F.col("_sz") <= max_block).select(
+                F.col(id_col), assigned_key, F.lit(level).alias("level")
+            )
+        )
+        remaining = keyed.filter(F.col("_sz") > max_block).drop("_dk", "_sz")
+    out = levels[0]
+    for part in levels[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def meta_block_pairs_wep(
+    keyed: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "mention_id",
+    threshold: int = 2000,
+    groups: int = 8,
+) -> DataFrame:
+    """Meta-blocking with WEP (weighted edge pruning, Papadakis et al.
+    TKDE 2014 §4): instead of :func:`meta_block_pairs`'s fixed
+    ``min_shared`` cut, keep the pairs whose CBS weight EXCEEDS the mean
+    weight over all candidate pairs — the standard data-dependent
+    threshold, which adapts to how redundant the key spaces actually
+    are on this corpus instead of hard-coding it.
+
+    Shape: the same skew-bounded per-key pair stream + ONE
+    count-distinct shuffle as CBS; the mean is a 1-row scalar aggregate
+    crossed back on (broadcast nested loop of one row — constant), then
+    a codegen filter. Strictly-greater is the published rule: on a
+    redundancy-free corpus every weight equals the mean and WEP keeps
+    nothing extra.
+
+    Output: (id_a, id_b, cbs) for pairs with cbs > mean(cbs).
+    """
+    per_key = bounded_self_pairs(
+        keyed, key_col=key_col, id_col=id_col,
+        threshold=threshold, groups=groups,
+    )
+    weighted = per_key.groupBy("id_a", "id_b").agg(
+        F.count_distinct(F.col(key_col)).alias("cbs")
+    )
+    # exact mean as integer sum / integer count (one scalar row; the
+    # comparison below is the only float op and is identical IEEE in
+    # any engine: cbs * n > total is kept integer-exact instead)
+    totals = weighted.agg(
+        F.sum("cbs").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .filter(F.col("cbs") * F.col("_n") > F.col("_total"))
+        .select("id_a", "id_b", "cbs")
+    )

@@ -266,6 +266,36 @@ CHECKS = {
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
     ],
+    # WEP meta-blocking: CBS shape + one 1-row scalar broadcast cross;
+    # the gate is integer arithmetic in codegen
+    "meta_blocking_wep": [
+        ("hot/cold split present (LeftAnti)", lambda p: "LeftAnti" in p),
+        ("cold+hot pair union present", lambda p: "Union" in p),
+        ("no cartesian (scalar cross is BNLJ)", lambda p:
+         "CartesianProduct" not in p),
+        ("only the 1-row scalar BNLJ", lambda p:
+         p.count("BroadcastNestedLoopJoin") <= 2),
+        ("map-side partial agg before the cbs exchange", lambda p:
+         "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # dynamic blocking: per-level size shuffle + equi-join, never a
+    # window (a window partition would materialize the whole hot block
+    # in one task), no Python
+    "dynamic_blocking": [
+        # the size-table query never uses doc_id, and pruning reaches
+        # through all three levels' joins to the scan
+        ("scan prunes to text only", lambda p: re.search(
+            r"ReadSchema: struct<text:string>", p) is not None),
+        ("size joins are equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("no window (hot block never in one task)", lambda p:
+         "Window" not in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
     # canonical-representative election: window + agg over one
     # partitioning — no join, no cartesian
     "cluster_canonical": [

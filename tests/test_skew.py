@@ -155,3 +155,60 @@ def test_candidate_pairs_min_shared_keys(spark):
             meta_block_pairs(keyed, min_shared=2).collect()}
     assert pruned == want
     assert pruned < base  # strictly fewer: single-key pairs dropped
+
+
+def test_meta_block_pairs_wep_equals_naive_with_hot_key(spark):
+    """WEP meta-blocking == naive count-distinct weights + the exact
+    mean cut (cbs * n > total), through the triangle-partitioned hot
+    path, with duplicate (id, key) rows inflating nothing."""
+    import random
+
+    from kawa_spark.operators.blocking import meta_block_pairs_wep
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(300):
+        mid = f"e{i:04d}"
+        rows.append((mid, "hot:shared"))
+        rows.append((mid, f"w:{rng.randrange(12)}"))
+        rows.append((mid, f"b:{rng.randrange(25)}"))
+        if i % 5 == 0:
+            rows.append((mid, rows[-1][1]))  # exact duplicate row
+    keyed = spark.createDataFrame(rows, "mention_id string, block_key string")
+
+    got = {
+        (r["id_a"], r["id_b"], r["cbs"])
+        for r in meta_block_pairs_wep(
+            keyed, threshold=50, groups=4
+        ).collect()
+    }
+
+    keyed.createOrReplaceTempView("wep_keyed")
+    want = {
+        (r["id_a"], r["id_b"], r["cbs"])
+        for r in spark.sql("""
+            WITH w AS (
+                SELECT a.mention_id AS id_a, b.mention_id AS id_b,
+                       COUNT(DISTINCT a.block_key) AS cbs
+                FROM wep_keyed a
+                JOIN wep_keyed b ON a.block_key = b.block_key
+                               AND a.mention_id < b.mention_id
+                GROUP BY a.mention_id, b.mention_id
+            ),
+            t AS (SELECT SUM(cbs) AS total, COUNT(*) AS n FROM w)
+            SELECT id_a, id_b, cbs FROM w CROSS JOIN t
+            WHERE cbs * n > total
+        """).collect()
+    }
+    assert got == want
+    assert got  # the cut keeps something on this corpus
+
+
+def test_meta_block_wep_uniform_weights_keep_nothing(spark):
+    """Redundancy-free corpus: every pair weight == mean -> WEP's
+    strictly-greater rule keeps nothing (the published edge case)."""
+    from kawa_spark.operators.blocking import meta_block_pairs_wep
+
+    rows = [(f"m{i}", f"k:{i // 2}") for i in range(20)]
+    keyed = spark.createDataFrame(rows, "mention_id string, block_key string")
+    assert meta_block_pairs_wep(keyed).count() == 0
