@@ -3378,6 +3378,76 @@ def _q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_block_pairs(keyed, min_shared=2)
 
 
+def _q_cluster_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Survivorship / golden-record fusion (operators/fusion.py): one
+    # record per entity cluster (user_id as the resolved entity),
+    # each attribute elected by its own rule — majority event_type,
+    # latest event_type by ts, longest props payload, min ts, max
+    # value. All native aggregates; majority adds one per-value
+    # partial-agg exchange; deterministic ties (bytewise-greatest).
+    from kawa_spark.operators.fusion import fuse_clusters
+
+    _views(spark, sf_dir)
+    return fuse_clusters(
+        spark.table("events"),
+        "user_id",
+        {
+            "modal_type": ("majority", "event_type"),
+            "latest_type": ("latest", "event_type", "ts"),
+            "longest_props": ("longest", "props"),
+            "first_ts": ("min", "ts"),
+            "max_value": ("max", "value"),
+        },
+    )
+
+
+_CLUSTER_FUSION_ORACLE = """
+    WITH counted AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    modal AS (
+        SELECT user_id, event_type AS modal_type
+        FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY n DESC, event_type DESC) AS rn
+            FROM counted
+        ) r WHERE rn = 1
+    ),
+    latest AS (
+        SELECT user_id, event_type AS latest_type
+        FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_type DESC) AS rn
+            FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ) r WHERE rn = 1
+    ),
+    longest AS (
+        SELECT user_id, props AS longest_props
+        FROM (
+            SELECT user_id, props,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY length(props) DESC, props DESC)
+                       AS rn
+            FROM events WHERE props IS NOT NULL
+        ) r WHERE rn = 1
+    ),
+    simple AS (
+        SELECT user_id, MIN(ts) AS first_ts, MAX(value) AS max_value
+        FROM events GROUP BY user_id
+    )
+    SELECT s.user_id, m.modal_type, l.latest_type, g.longest_props,
+           s.first_ts, s.max_value
+    FROM simple s
+    LEFT JOIN modal m USING (user_id)
+    LEFT JOIN latest l USING (user_id)
+    LEFT JOIN longest g USING (user_id)
+"""
+
+
 def _q_meta_blocking_wep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Meta-blocking with WEP (weighted edge pruning): same CBS weights
     # as `meta_blocking`, but the cut is the data-dependent mean weight
@@ -3595,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "block_size_histogram": _q_block_size_histogram,
             "dynamic_blocking": _q_dynamic_blocking,
             "meta_blocking_wep": _q_meta_blocking_wep,
+            "cluster_fusion": _q_cluster_fusion,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -4036,6 +4107,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             """,
             "dynamic_blocking": _DYNAMIC_BLOCKING_ORACLE,
+            "cluster_fusion": _CLUSTER_FUSION_ORACLE,
             "meta_blocking_wep": f"""
                 WITH keyed AS ({_META_KEYED_SQL}),
                 w AS (

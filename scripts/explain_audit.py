@@ -266,6 +266,21 @@ CHECKS = {
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
     ],
+    # cluster fusion: all-native aggregates — partial aggs before every
+    # exchange, per-cluster golden tables equi-join, no window in the
+    # Spark path (windows exist only in the DuckDB oracle), no Python
+    "cluster_fusion": [
+        ("scan prunes to the 5 fused columns", lambda p: re.search(
+            r"ReadSchema: struct<ts:timestamp(_ntz)?,user_id:bigint,"
+            r"event_type:string,value:double,props:string>", p) is not None),
+        ("no window (hot cluster never in one task)", lambda p:
+         "Window" not in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("golden joins are equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
     # WEP meta-blocking: CBS shape + one 1-row scalar broadcast cross;
     # the gate is integer arithmetic in codegen
     "meta_blocking_wep": [
