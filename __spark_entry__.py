@@ -3378,6 +3378,135 @@ def _q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_block_pairs(keyed, min_shared=2)
 
 
+def _q_cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mirror/syndication detection for crawl curation: of all near-dup
+    # pairs (same 16-bit SimHash bucket), what fraction crosses a
+    # source boundary? Pure pair counting — per-bucket C(n,2) minus
+    # per-(bucket, source) C(m,2), all exact BIGINT sums
+    # (order-independent); the one ratio is a single IEEE division.
+    # 100-TB shape: two partial-agg exchanges over the bucket keys,
+    # never a pair materialization.
+    _views(spark, sf_dir)
+    h = _hash60_sql("tok")
+    return spark.sql(f"""
+        WITH sims AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0
+                            THEN CAST(shiftleft(CAST(1 AS BIGINT), b)
+                                      AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS pkey
+            FROM (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN shiftright(h, b) % 2 = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM (
+                    SELECT doc_id, {h} AS h
+                    FROM (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       explode(split(lower(text), ' ')) AS tok
+                                FROM documents) e) t
+                ) hh
+                LATERAL VIEW explode(sequence(0, 15)) s AS b
+                GROUP BY doc_id, b
+            ) votes
+            GROUP BY doc_id
+        ),
+        j AS (
+            SELECT s.pkey, d.source
+            FROM sims s JOIN documents d ON s.doc_id = d.doc_id
+        ),
+        tot AS (
+            SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS total_pairs,
+                   CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_multi_buckets
+            FROM (SELECT pkey, COUNT(*) AS n FROM j GROUP BY pkey) b
+        ),
+        wit AS (
+            SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS within_pairs
+            FROM (SELECT pkey, source, COUNT(*) AS m
+                  FROM j GROUP BY pkey, source) w
+        )
+        SELECT n_multi_buckets, total_pairs, within_pairs,
+               total_pairs - within_pairs AS cross_pairs,
+               CASE WHEN total_pairs = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE ROUND((total_pairs - within_pairs)
+                               / CAST(total_pairs AS DOUBLE), 6)
+               END AS cross_ratio
+        FROM tot CROSS JOIN wit
+    """)
+
+
+def _q_dynamic_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dynamic blocking composed with pair generation: the per-level
+    # comparison budget — for each level of the recursive split, the
+    # number of final blocks, rows, and within-block candidate pairs
+    # (exact BIGINT C(sz,2) sums; what a fixed single-key scheme would
+    # pay vs what the split leaves). Level 3 carries the unsplittable
+    # remainder, which downstream `bounded_self_pairs` treats as hot.
+    from kawa_spark.operators.blocking import dynamic_block_keys
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    key_fns = [
+        (lambda d, i=i: F.concat_ws(" ", F.slice(F.col("toks"), 1, i)))
+        for i in (1, 2, 3)
+    ]
+    assigned = dynamic_block_keys(docs, key_fns, max_block=8, id_col="doc_id")
+    sizes = assigned.groupBy("level", "block_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.sum(F.expr("CAST(sz * (sz - 1) / 2 AS BIGINT)"))
+        .cast("bigint")
+        .alias("n_pairs"),
+    )
+
+
+_DYNAMIC_BLOCK_PAIRS_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    l1 AS (SELECT doc_id, toks, array_to_string(toks[1:1], ' ') AS k FROM t),
+    c1 AS (SELECT k, COUNT(*) AS sz FROM l1 GROUP BY k),
+    a1 AS (
+        SELECT 1 AS level, concat('L1:', l1.k) AS block_key
+        FROM l1 JOIN c1 USING (k) WHERE c1.sz <= 8
+    ),
+    r1 AS (
+        SELECT doc_id, toks FROM l1 JOIN c1 USING (k) WHERE c1.sz > 8
+    ),
+    l2 AS (SELECT doc_id, toks, array_to_string(toks[1:2], ' ') AS k FROM r1),
+    c2 AS (SELECT k, COUNT(*) AS sz FROM l2 GROUP BY k),
+    a2 AS (
+        SELECT 2 AS level, concat('L2:', l2.k) AS block_key
+        FROM l2 JOIN c2 USING (k) WHERE c2.sz <= 8
+    ),
+    r2 AS (
+        SELECT doc_id, toks FROM l2 JOIN c2 USING (k) WHERE c2.sz > 8
+    ),
+    a3 AS (
+        SELECT 3 AS level,
+               concat('L3:', array_to_string(toks[1:3], ' ')) AS block_key
+        FROM r2
+    ),
+    sizes AS (
+        SELECT level, block_key, COUNT(*) AS sz
+        FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+              UNION ALL SELECT * FROM a3) u
+        GROUP BY level, block_key
+    )
+    SELECT level, COUNT(*) AS n_blocks,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS n_pairs
+    FROM sizes GROUP BY level
+"""
+
+
 def _q_cluster_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Survivorship / golden-record fusion (operators/fusion.py): one
     # record per entity cluster (user_id as the resolved entity),
@@ -3666,6 +3795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dynamic_blocking": _q_dynamic_blocking,
             "meta_blocking_wep": _q_meta_blocking_wep,
             "cluster_fusion": _q_cluster_fusion,
+            "cross_source_dup_rate": _q_cross_source_dup_rate,
+            "dynamic_block_pairs": _q_dynamic_block_pairs,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -4108,6 +4239,55 @@ def oracle_sql() -> dict[str, str]:
             """,
             "dynamic_blocking": _DYNAMIC_BLOCKING_ORACLE,
             "cluster_fusion": _CLUSTER_FUSION_ORACLE,
+            "dynamic_block_pairs": _DYNAMIC_BLOCK_PAIRS_ORACLE,
+            "cross_source_dup_rate": f"""
+                WITH sims AS (
+                    SELECT doc_id,
+                           CAST(SUM(CASE WHEN v > 0
+                                    THEN (CAST(1 AS BIGINT) << b)
+                                    ELSE 0 END) AS BIGINT) AS pkey
+                    FROM (
+                        SELECT doc_id, b,
+                               SUM(CASE WHEN (h >> b) & 1 = 1
+                                   THEN 1 ELSE -1 END) AS v
+                        FROM (
+                            SELECT doc_id, {_hash60_duck("tok")} AS h
+                            FROM (SELECT DISTINCT doc_id, tok
+                                  FROM (SELECT doc_id,
+                                               unnest(string_split(lower(text), ' ')) AS tok
+                                        FROM documents) e) t
+                        ) hh
+                        CROSS JOIN (SELECT unnest(generate_series(0, 15))
+                                    AS b) s
+                        GROUP BY doc_id, b
+                    ) votes
+                    GROUP BY doc_id
+                ),
+                j AS (
+                    SELECT s.pkey, d.source
+                    FROM sims s JOIN documents d ON s.doc_id = d.doc_id
+                ),
+                tot AS (
+                    SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT)
+                               AS total_pairs,
+                           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_multi_buckets
+                    FROM (SELECT pkey, COUNT(*) AS n FROM j GROUP BY pkey) b
+                ),
+                wit AS (
+                    SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT)
+                               AS within_pairs
+                    FROM (SELECT pkey, source, COUNT(*) AS m
+                          FROM j GROUP BY pkey, source) w
+                )
+                SELECT n_multi_buckets, total_pairs, within_pairs,
+                       total_pairs - within_pairs AS cross_pairs,
+                       CASE WHEN total_pairs = 0 THEN CAST(0.0 AS DOUBLE)
+                            ELSE ROUND((total_pairs - within_pairs)
+                                       / CAST(total_pairs AS DOUBLE), 6)
+                       END AS cross_ratio
+                FROM tot CROSS JOIN wit
+            """,
             "meta_blocking_wep": f"""
                 WITH keyed AS ({_META_KEYED_SQL}),
                 w AS (

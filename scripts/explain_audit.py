@@ -266,6 +266,26 @@ CHECKS = {
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
     ],
+    # cross-source dup rate: pure pair counting — bucket C(n,2) sums,
+    # never a pair materialization; only the 1-row scalar crosses
+    "cross_source_dup_rate": [
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no cartesian beyond the 1-row scalar crosses", lambda p:
+         "CartesianProduct" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # dynamic blocking + pair budget: same shape as dynamic_blocking
+    # (the pair counts are C(sz,2) over the size table, no pair join)
+    "dynamic_block_pairs": [
+        ("scan prunes to text only", lambda p: re.search(
+            r"ReadSchema: struct<text:string>", p) is not None),
+        ("no window (hot block never in one task)", lambda p:
+         "Window" not in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
     # cluster fusion: all-native aggregates — partial aggs before every
     # exchange, per-cluster golden tables equi-join, no window in the
     # Spark path (windows exist only in the DuckDB oracle), no Python
