@@ -3676,8 +3676,12 @@ _DRIVER_PRIORITY = [
     "er_mentions", "er_clusters", "er_incremental", "er_retract",
     # round-4 new oracle-backed queries
     "text_dedup_stats", "cluster_canonical",
-    # lang-data queries with a single (r03) driver row
-    "gender_swap_map", "pronoun_gender_map", "name_lists",
+    # round-4 session-8 operator queries (dynamic blocking, WEP
+    # meta-blocking, survivorship fusion — no driver row yet); the
+    # three lang-data queries (gender_swap_map, pronoun_gender_map,
+    # name_lists) rotated out for these — each is driver-green in r03
+    # and check_oracle-green at sf0.01+sf0.1 this session
+    "dynamic_blocking", "meta_blocking_wep", "cluster_fusion",
     # round-4 session-4 additions (curation ops, no driver row yet)
     "chunk_dedup", "hash_split", "stratified_sample",
     # round-4 session-5 additions (substring-dedup coverage + SURT URL
