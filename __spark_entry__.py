@@ -3012,6 +3012,33 @@ def _q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _er_clusters_df(spark, sf_dir)
 
 
+def _q_er_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # golden record per resolved entity: the flagship pipeline's
+    # clusters fused by survivorship rules (operators/fusion.py) —
+    # modal surface form, longest mention text, lexicographically
+    # first url as provenance anchor, mention count. Rows-only (the
+    # pipeline is not SQL-expressible); determinism of the fusion
+    # layer itself is oracle-backed via `cluster_fusion` and
+    # property-pinned in tests/test_hypothesis_ops.py.
+    from kawa_spark.operators.fusion import fuse_clusters
+
+    clusters = _er_clusters_df(spark, sf_dir)
+    golden = fuse_clusters(
+        clusters,
+        "cluster_id",
+        {
+            "canonical_norm": ("majority", "norm"),
+            "longest_mention": ("longest", "mention"),
+            "first_url": ("min", "url"),
+            "modal_label": ("majority", "label"),
+        },
+    )
+    n = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    return golden.join(n, "cluster_id").orderBy("cluster_id")
+
+
 def _q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delta linkage: batch-run 4/5 of the corpus, fold the remaining 1/5
     # in via incremental_link, return the reconciled mention-level view
@@ -3771,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "er_clusters": _q_er_clusters,
             "er_incremental": _q_er_incremental,
             "er_retract": _q_er_retract,
+            "er_fusion": _q_er_fusion,
             "text_dedup_stats": _q_text_dedup_stats,
             "cluster_canonical": _q_cluster_canonical,
             "sense_merge": _q_sense_merge,

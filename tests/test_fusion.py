@@ -117,3 +117,30 @@ def test_determinism_across_partitionings(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_er_fusion_invariants(spark):
+    """Golden records over the real pipeline output: exactly one row
+    per cluster, the canonical norm is a member norm, mention counts
+    reconcile, and a second run is byte-identical (determinism)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    golden = e.queries()["er_fusion"](spark, sf).collect()
+    clusters = e._er_clusters_df(spark, sf).collect()
+
+    by_cluster: dict[str, list] = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(golden) == len(by_cluster)
+    for g in golden:
+        members = by_cluster[g["cluster_id"]]
+        assert g["n_mentions"] == len(members)
+        assert g["canonical_norm"] in {m["norm"] for m in members}
+        assert g["first_url"] == min(m["url"] for m in members)
+
+    again = e.queries()["er_fusion"](spark, sf).collect()
+    assert [tuple(r) for r in golden] == [tuple(r) for r in again]
