@@ -17,8 +17,17 @@ import __spark_entry__ as entry  # noqa: E402
 # SQL-expressible; gated by the byte-identity + F1 pytest suite instead.
 # er_incremental / er_retract (iterative CC + stateful delta fold /
 # retraction) are gated by the stronger full-recompute-equality oracles
-# in tests/test_incremental.py and tests/test_retract.py.
-ROWS_ONLY = {"er_mentions", "er_clusters", "er_incremental", "er_retract"}
+# in tests/test_incremental.py and tests/test_retract.py. er_fusion
+# (golden records over the pipeline clusters) is gated by the
+# invariants + determinism pins in tests/test_fusion.py; its fusion
+# layer is separately oracle-backed via the cluster_fusion query.
+ROWS_ONLY = {
+    "er_mentions",
+    "er_clusters",
+    "er_incremental",
+    "er_retract",
+    "er_fusion",
+}
 
 
 def test_priority_window_is_exactly_50():
