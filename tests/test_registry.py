@@ -76,6 +76,12 @@ def test_window_carries_the_r03_gap_queries():
         "gopher_quality", "temperature_resample", "blocking_quality",
         "sorted_neighborhood", "bcubed_eval",
     } | ROWS_ONLY
+    # er_fusion is deliberately OUTSIDE the 50-slot window: a rows-only
+    # driver row is weaker evidence than the all-three-green oracle row
+    # the slot otherwise holds, and er_fusion's substance is already
+    # double-covered (fusion layer oracle-backed in-window via
+    # cluster_fusion; pipeline composition pinned by tests/test_fusion.py)
+    must_gate -= {"er_fusion"}
     assert must_gate <= set(entry._DRIVER_PRIORITY)
 
 
