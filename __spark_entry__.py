@@ -3405,6 +3405,54 @@ def _q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_block_pairs(keyed, min_shared=2)
 
 
+def _unrolled_pow(expr: str, n: int) -> str:
+    """(expr)^n as explicit multiplication — identical IEEE sequence in
+    any engine, unlike libm pow() whose last ulp is implementation-
+    defined. n >= 1."""
+    return "(" + " * ".join([f"({expr})"] * n) + ")"
+
+
+def _lsh_planner_sql(perms: int, dialect: str) -> str:
+    """The MinHash-LSH s-curve planning table: for every way to split
+    ``perms`` permutations into b bands of r rows, the candidate-pair
+    collision probability 1-(1-j^r)^b over a Jaccard grid — the table
+    you read BEFORE choosing cfg.minhash_bands (where does the curve's
+    threshold sit, how fat are the FP/FN tails). Engine-exact: j comes
+    from an integer grid by one IEEE division, powers are unrolled
+    multiplication, so Spark and DuckDB produce bit-identical doubles.
+    """
+    opts = [(b, perms // b) for b in range(1, perms + 1) if perms % b == 0]
+    arms = []
+    for b, r in opts:
+        jr = _unrolled_pow("j", r)
+        p = f"1e0 - {_unrolled_pow(f'1e0 - {jr}', b)}"
+        arms.append(
+            f"SELECT j, {b} AS bands, {r} AS rows_per_band,"
+            f" ROUND({p}, 6) AS p_collide FROM grid"
+        )
+    body = " UNION ALL ".join(arms)
+    if dialect == "spark":
+        grid = (
+            "SELECT CAST(i AS DOUBLE) / 20 AS j"
+            " FROM (SELECT explode(sequence(1, 19)) AS i)"
+        )
+    else:
+        grid = (
+            "SELECT CAST(i AS DOUBLE) / 20 AS j"
+            " FROM (SELECT unnest(generate_series(1, 19)) AS i)"
+        )
+    return f"WITH grid AS ({grid}) {body}"
+
+
+def _q_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH parameter planning (s-curve table for perms=8); see
+    # _lsh_planner_sql. No table scan at all — a constant plan — but
+    # oracle-compared like everything else, which pins the arithmetic
+    # the blocking stage's recall claims rest on.
+    _views(spark, sf_dir)
+    return spark.sql(_lsh_planner_sql(8, "spark"))
+
+
 def _q_cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mirror/syndication detection for crawl curation: of all near-dup
     # pairs (same 16-bit SimHash bucket), what fraction crosses a
@@ -3828,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "meta_blocking_wep": _q_meta_blocking_wep,
             "cluster_fusion": _q_cluster_fusion,
             "cross_source_dup_rate": _q_cross_source_dup_rate,
+            "lsh_band_planner": _q_lsh_band_planner,
             "dynamic_block_pairs": _q_dynamic_block_pairs,
         }
     )
@@ -4272,6 +4321,7 @@ def oracle_sql() -> dict[str, str]:
             "dynamic_blocking": _DYNAMIC_BLOCKING_ORACLE,
             "cluster_fusion": _CLUSTER_FUSION_ORACLE,
             "dynamic_block_pairs": _DYNAMIC_BLOCK_PAIRS_ORACLE,
+            "lsh_band_planner": _lsh_planner_sql(8, "duckdb"),
             "cross_source_dup_rate": f"""
                 WITH sims AS (
                     SELECT doc_id,
