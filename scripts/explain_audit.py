@@ -266,6 +266,14 @@ CHECKS = {
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
     ],
+    # LSH band planner: constant plan — no table scan, no exchange,
+    # no Python (pure unrolled arithmetic over a generated grid)
+    "lsh_band_planner": [
+        ("no table scan", lambda p: "Scan parquet" not in p),
+        ("no exchange", lambda p: "Exchange" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
     # cross-source dup rate: pure pair counting — bucket C(n,2) sums,
     # never a pair materialization; only the 1-row scalar crosses
     "cross_source_dup_rate": [
