@@ -3666,6 +3666,154 @@ def _q_meta_blocking_wep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_block_pairs_wep(keyed)
 
 
+def _q_progressive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Progressive / pay-as-you-go ER (Whang et al. 2013): under a
+    # comparison budget, resolve the most promising candidate pairs
+    # first. Here the promise score is the CBS weight from
+    # meta-blocking and the budget is 100 comparisons — the plan must
+    # be TakeOrderedAndProject (per-partition top-k + merge), NEVER a
+    # global sort of the full pair stream. Deterministic total order:
+    # (cbs desc, id_a, id_b).
+    from kawa_spark.operators.blocking import meta_block_pairs
+
+    _views(spark, sf_dir)
+    keyed = spark.sql(_META_KEYED_SQL)
+    pairs = meta_block_pairs(keyed, min_shared=1)
+    return pairs.orderBy(
+        F.col("cbs").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(100)
+
+
+# Weighted entity graph with one sub-graph per type namespace, mixing
+# two shapes — a star (every brand -> its type hub) and a clique (all
+# size-1 brands pairwise) — so the density metric has something to
+# discriminate. Node/edge count is bounded by DISTINCT brand x type
+# values, i.e. constant in corpus scale. Weight = exact-integer edit
+# distance (order-independent aggregates stay bit-stable across
+# partitionings).
+_DENSITY_EDGES_SQL = """
+    SELECT u, v, CAST(levenshtein(u, v) AS BIGINT) AS w FROM (
+      SELECT DISTINCT concat(p_type, '|b:', p_brand) AS u,
+                      concat(p_type, '|t:', p_type) AS v
+      FROM part WHERE p_size <= 2
+      UNION
+      SELECT DISTINCT concat(a.p_type, '|b:', a.p_brand),
+                      concat(a.p_type, '|b:', b.p_brand)
+      FROM part a JOIN part b
+        ON a.p_type = b.p_type AND a.p_brand < b.p_brand
+      WHERE a.p_size = 1 AND b.p_size = 1)
+"""
+
+
+def _q_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-component graph diagnostics (operators/cc.py:component_metrics):
+    # transitive closure's failure mode at 10^12 docs is the chain merge
+    # — borderline matches daisy-chaining distinct entities into one
+    # giant low-density hair-ball. density = n_edges/C(n_nodes,2) and
+    # the weakest edge (min_w is the chain's breaking point) triage
+    # clusters for repair WITHOUT re-scoring any pair. One equi-join +
+    # two partial aggs; a giant component is one reduce key but all
+    # aggregates combine map-side.
+    from kawa_spark.operators.cc import (
+        component_metrics,
+        connected_components,
+    )
+
+    _views(spark, sf_dir)
+    edges = spark.sql(_DENSITY_EDGES_SQL)
+    comps = connected_components(edges, src="u", dst="v")
+    m = component_metrics(edges, comps, src="u", dst="v", weight="w")
+    return m.select(
+        "component",
+        "n_nodes",
+        "n_edges",
+        F.round("density", 6).alias("density"),
+        "min_w",
+        "max_w",
+        F.round(F.col("sum_w") / F.col("n_edges"), 6).alias("avg_w"),
+    )
+
+
+# Labeled candidate pairs for threshold calibration: within-brand
+# (blocked) part pairs, score = normalized edit similarity of names,
+# label = same type category. Both engines evaluate the identical text.
+_SWEEP_PAIRS_SQL = """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                 / greatest(length(a.p_name), length(b.p_name)) AS score,
+           CAST(a.p_type = b.p_type AS INT) AS is_match
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_size = 1 AND b.p_size = 1
+"""
+
+
+def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Match-threshold calibration: P/R/F1 over a grid of score
+    # thresholds on labeled pairs — the table you read the operating
+    # point off before committing a threshold to a 10^12-doc run.
+    # Scale shape: the scored pair stream is joined to a 10-row
+    # broadcast grid (explicit broadcast; replication factor 10), then
+    # one partial-agg shuffle keyed by threshold. Counts are exact
+    # BIGINTs; each metric is a single guarded division from them.
+    _views(spark, sf_dir)
+    pairs = spark.sql(_SWEEP_PAIRS_SQL)
+    grid = spark.range(10).select((F.col("id") / 10.0).alias("thr"))
+    hit = (F.col("score") >= F.col("thr")).cast("int")
+    agg = (
+        pairs.join(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(hit * F.col("is_match")).alias("tp"),
+            F.sum(hit * (1 - F.col("is_match"))).alias("fp"),
+            F.sum((1 - hit) * F.col("is_match")).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        F.round("thr", 1).alias("thr"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp > 0, F.round(tp / (tp + fp), 6)).alias("prec"),
+        F.when(tp + fn > 0, F.round(tp / (tp + fn), 6)).alias("rec"),
+        F.when(
+            2 * tp + fp + fn > 0,
+            F.round(2.0 * tp / (2 * tp + fp + fn), 6),
+        ).alias("f1"),
+    )
+
+
+def _q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-to-one record linkage by mutual best match: within a nation
+    # block, keep (customer, supplier) only when each is the other's
+    # single best match (min edit distance, id tie-break) — the
+    # classic symmetric-best assignment rule that prevents one popular
+    # record from absorbing every counterpart. Two row_number windows
+    # over the scored pair stream (one shuffle per side's key), then a
+    # conjunctive filter; no global sort, no driver state.
+    from pyspark.sql.window import Window
+
+    _views(spark, sf_dir)
+    pairs = spark.sql("""
+        SELECT c.c_custkey, s.s_suppkey,
+               CAST(levenshtein(c.c_name, s.s_name) AS BIGINT) AS lev
+        FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    """)
+    wc = Window.partitionBy("c_custkey").orderBy(
+        F.col("lev"), F.col("s_suppkey")
+    )
+    ws = Window.partitionBy("s_suppkey").orderBy(
+        F.col("lev"), F.col("c_custkey")
+    )
+    return (
+        pairs.withColumn("rc", F.row_number().over(wc))
+        .withColumn("rs", F.row_number().over(ws))
+        .filter((F.col("rc") == 1) & (F.col("rs") == 1))
+        .select("c_custkey", "s_suppkey", "lev")
+    )
+
+
 def _q_dynamic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dynamic blocking (recursive oversized-block splitting,
     # operators/blocking.py:dynamic_block_keys): first-token blocks
@@ -3877,7 +4025,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cluster_fusion": _q_cluster_fusion,
             "cross_source_dup_rate": _q_cross_source_dup_rate,
             "lsh_band_planner": _q_lsh_band_planner,
+            "progressive_pairs": _q_progressive_pairs,
             "dynamic_block_pairs": _q_dynamic_block_pairs,
+            "cluster_density": _q_cluster_density,
+            "threshold_sweep": _q_threshold_sweep,
+            "mutual_best_match": _q_mutual_best_match,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -4322,6 +4474,92 @@ def oracle_sql() -> dict[str, str]:
             "cluster_fusion": _CLUSTER_FUSION_ORACLE,
             "dynamic_block_pairs": _DYNAMIC_BLOCK_PAIRS_ORACLE,
             "lsh_band_planner": _lsh_planner_sql(8, "duckdb"),
+            "progressive_pairs": f"""
+                WITH keyed AS ({_META_KEYED_SQL})
+                SELECT a.mention_id AS id_a, b.mention_id AS id_b,
+                       COUNT(DISTINCT a.block_key) AS cbs
+                FROM keyed a
+                JOIN keyed b ON a.block_key = b.block_key
+                            AND a.mention_id < b.mention_id
+                GROUP BY a.mention_id, b.mention_id
+                ORDER BY cbs DESC, id_a, id_b
+                LIMIT 100
+            """,
+            "cluster_density": f"""
+                WITH RECURSIVE
+                edges AS ({_DENSITY_EDGES_SQL}),
+                nodes AS (SELECT u AS node FROM edges
+                          UNION SELECT v FROM edges),
+                sym AS (SELECT u, v FROM edges
+                        UNION SELECT v AS u, u AS v FROM edges),
+                reach AS (
+                    SELECT node, node AS r FROM nodes
+                    UNION
+                    SELECT s.u AS node, reach.r
+                    FROM sym s JOIN reach ON s.v = reach.node
+                ),
+                comp AS (SELECT node, MIN(r) AS component
+                         FROM reach GROUP BY node),
+                nn AS (SELECT component, COUNT(*) AS n_nodes
+                       FROM comp GROUP BY component),
+                ee AS (SELECT c.component, COUNT(*) AS n_edges,
+                              MIN(e.w) AS min_w, MAX(e.w) AS max_w,
+                              SUM(e.w) AS sum_w
+                       FROM edges e JOIN comp c ON e.u = c.node
+                       GROUP BY c.component)
+                SELECT nn.component, nn.n_nodes, ee.n_edges,
+                       ROUND(2.0 * ee.n_edges
+                             / (nn.n_nodes * (nn.n_nodes - 1)), 6)
+                           AS density,
+                       ee.min_w, ee.max_w,
+                       ROUND(CAST(ee.sum_w AS DOUBLE) / ee.n_edges, 6)
+                           AS avg_w
+                FROM nn JOIN ee USING (component)
+            """,
+            "threshold_sweep": f"""
+                WITH pairs AS ({_SWEEP_PAIRS_SQL}),
+                grid AS (SELECT i / 10.0 AS thr
+                         FROM generate_series(0, 9) AS t(i)),
+                agg AS (
+                    SELECT thr,
+                           CAST(SUM(CASE WHEN score >= thr AND is_match = 1
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                           CAST(SUM(CASE WHEN score >= thr AND is_match = 0
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                           CAST(SUM(CASE WHEN score < thr AND is_match = 1
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                    FROM pairs CROSS JOIN grid
+                    GROUP BY thr
+                )
+                SELECT ROUND(thr, 1) AS thr, tp, fp, fn,
+                       CASE WHEN tp + fp > 0
+                            THEN ROUND(tp / (tp + fp), 6) END AS prec,
+                       CASE WHEN tp + fn > 0
+                            THEN ROUND(tp / (tp + fn), 6) END AS rec,
+                       CASE WHEN 2 * tp + fp + fn > 0
+                            THEN ROUND(2.0 * tp / (2 * tp + fp + fn), 6)
+                       END AS f1
+                FROM agg
+            """,
+            "mutual_best_match": """
+                WITH pairs AS (
+                    SELECT c.c_custkey, s.s_suppkey,
+                           CAST(levenshtein(c.c_name, s.s_name) AS BIGINT)
+                               AS lev
+                    FROM customer c
+                    JOIN supplier s ON c.c_nationkey = s.s_nationkey
+                ),
+                ranked AS (
+                    SELECT c_custkey, s_suppkey, lev,
+                           ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                              ORDER BY lev, s_suppkey) AS rc,
+                           ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                                              ORDER BY lev, c_custkey) AS rs
+                    FROM pairs
+                )
+                SELECT c_custkey, s_suppkey, lev
+                FROM ranked WHERE rc = 1 AND rs = 1
+            """,
             "cross_source_dup_rate": f"""
                 WITH sims AS (
                     SELECT doc_id,

@@ -26,10 +26,29 @@ def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
     that turns one node loss into a job failure (round-1 review) — so
     callers with durable state (ERPipeline with an out_dir, which also
     sets the session checkpoint dir) pass ``reliable=True`` for a real
-    checkpoint; local benches keep the cheaper localCheckpoint."""
-    if reliable:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    checkpoint; local benches keep the cheaper localCheckpoint.
+
+    Constraint propagation is disabled while the checkpoint is created:
+    Spark snapshots the plan's inferred constraints into the
+    checkpoint's ``originConstraints``, and when the caller's edge plan
+    contains a nested projection those constraints can reference
+    attributes pruned from the output — every later union over the
+    checkpoint then dies in constraint rewriting with
+    ``NoSuchElementException: key not found: u#N`` (observed on Spark
+    4.1 with any subquery-shaped edge input). Snapshotting an empty set
+    costs nothing here: the star rounds add no filters the optimizer
+    could infer from constraints anyway.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -319,3 +338,72 @@ def repair_components(
 
     repaired = tagged.groupBy("component").applyInPandas(_repair, out_schema)
     return good.select("node", "component").unionByName(repaired)
+
+
+def component_metrics(
+    edges: DataFrame,
+    components: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str | None = None,
+) -> DataFrame:
+    """Per-component graph diagnostics: the hair-ball triage table.
+
+    Transitive closure's failure mode at 10^12 docs is the chain merge:
+    a handful of borderline pairwise matches daisy-chain distinct
+    entities into one giant low-density cluster. This computes, per
+    component, the signals that triage those for repair without
+    re-scoring anything: ``n_nodes``, ``n_edges``, ``density``
+    (n_edges / C(n_nodes, 2) — a clean entity clusters near 1.0, a
+    chain merge near 2/n) and, when ``weight`` names an edge-score
+    column, ``min_w`` / ``max_w`` / ``sum_w`` (the weakest edge is the
+    chain's breaking point — the edge :func:`repair_components`-style
+    greedy splitting would cut first).
+
+    Inputs: ``edges`` one row per undirected pair (the same edge set the
+    components were built from, so every edge is intra-component — the
+    component is resolved through ``src`` alone); ``components`` the
+    (node, component) output of :func:`connected_components`. Float
+    weight sums are partition-order-dependent; pass an exact integer
+    weight when downstream needs bit-stable aggregates (min/max are
+    always order-independent).
+
+    Scale shape: one equi-join edges->components (shuffle on node id),
+    two partial aggregations keyed by component, one small
+    component-keyed join. A giant component is one reduce key, but
+    count/min/max/sum all combine map-side, so the skew cost is one
+    hot reducer receiving pre-combined partials, not the raw edge list.
+    Singleton components (nodes without edges, possible when the
+    components table covers more nodes than the edge set) surface with
+    n_edges = 0 and NULL density.
+    """
+    e = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        *([F.col(weight).alias("w")] if weight else []),
+    )
+    ecomp = e.join(
+        components.select(F.col("node").alias("u"), "component"), "u"
+    )
+    eagg = [F.count(F.lit(1)).alias("n_edges")]
+    if weight:
+        eagg += [
+            F.min("w").alias("min_w"),
+            F.max("w").alias("max_w"),
+            F.sum("w").alias("sum_w"),
+        ]
+    per_edge = ecomp.groupBy("component").agg(*eagg)
+    per_node = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    out = per_node.join(per_edge, "component", "left").withColumn(
+        "n_edges", F.coalesce("n_edges", F.lit(0))
+    )
+    return out.withColumn(
+        "density",
+        F.when(
+            F.col("n_nodes") > 1,
+            2.0 * F.col("n_edges")
+            / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))),
+        ),
+    )

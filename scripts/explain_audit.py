@@ -266,6 +266,46 @@ CHECKS = {
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
     ],
+    # cluster diagnostics: CC checkpoints truncate the upstream loop;
+    # the metrics stage itself must stay equi-join + partial aggs
+    "cluster_density": [
+        ("metrics join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("partial agg before shuffle", lambda p: "HashAggregate" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # threshold calibration: the 10-row grid must replicate via
+    # broadcast (BNLJ on the tiny side is the intended replication,
+    # not a quadratic blowup); the pair join itself stays equi
+    "threshold_sweep": [
+        ("grid replicates via broadcast", lambda p:
+         "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("partial agg before shuffle", lambda p: "HashAggregate" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # symmetric-best 1:1 assignment: two row_number windows, equi pair
+    # join, no global sort of the pair stream beyond the window sorts
+    "mutual_best_match": [
+        ("row_number windows present", lambda p: "Window" in p),
+        ("pair join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # progressive ER: the budget cut must be TakeOrdered (per-partition
+    # top-k + merge), never a global sort of the full pair stream
+    "progressive_pairs": [
+        ("TakeOrdered budget cut (no global sort)", lambda p:
+         "TakeOrderedAndProject" in p),
+        ("hot/cold split present (LeftAnti)", lambda p: "LeftAnti" in p),
+        ("no cartesian/BNLJ", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
     # LSH band planner: constant plan — no table scan, no exchange,
     # no Python (pure unrolled arithmetic over a generated grid)
     "lsh_band_planner": [
