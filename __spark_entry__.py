@@ -3814,6 +3814,70 @@ def _q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_block_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Block filtering (Papadakis et al., "Meta-Blocking: Taking Entity
+    # Resolution to the Next Level" / block-processing family): with
+    # redundancy-positive blocking each record keeps only its
+    # ceil(0.6 * k) SMALLEST blocks — large blocks are the least
+    # informative and the most expensive, so the per-record trim cuts
+    # the comparison budget superlinearly while redundancy preserves
+    # recall. Output: the before/after budget table (blocks,
+    # assignments, sum C(sz,2) pairs) — exact BIGINT arithmetic only.
+    # Scale shape: one partial-agg size shuffle, one equi-join back,
+    # one per-record window (mention-keyed, tiny partitions), one
+    # re-aggregation. No pair is ever materialized.
+    _views(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    keyed = spark.sql(_META_KEYED_SQL)
+    sizes = keyed.groupBy("block_key").agg(F.count(F.lit(1)).alias("sz"))
+    assigned = keyed.join(sizes, "block_key")
+    w = Window.partitionBy("mention_id").orderBy("sz", "block_key")
+    ranked = assigned.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nk", F.count(F.lit(1)).over(Window.partitionBy("mention_id"))
+    )
+    kept = ranked.filter(F.col("rk") <= F.expr("(3 * nk + 4) div 5"))
+
+    def stats(df: DataFrame, stage: str) -> DataFrame:
+        per_key = df.groupBy("block_key").agg(F.count(F.lit(1)).alias("sz"))
+        return per_key.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("sz").alias("n_assignments"),
+            F.sum(F.expr("sz * (sz - 1) div 2")).alias("n_pairs"),
+        )
+    return stats(keyed, "before").unionByName(
+        stats(kept.select("mention_id", "block_key"), "filtered")
+    )
+
+
+_BLOCK_FILTERING_ORACLE_TMPL = """
+    WITH keyed AS ({keyed}),
+    sizes AS (SELECT block_key, COUNT(*) AS sz FROM keyed GROUP BY block_key),
+    ranked AS (
+        SELECT k.mention_id, k.block_key, s.sz,
+               ROW_NUMBER() OVER (PARTITION BY k.mention_id
+                                  ORDER BY s.sz, k.block_key) AS rk,
+               COUNT(*) OVER (PARTITION BY k.mention_id) AS nk
+        FROM keyed k JOIN sizes s USING (block_key)
+    ),
+    kept AS (SELECT mention_id, block_key FROM ranked
+             WHERE rk <= (3 * nk + 4) // 5),
+    before_k AS (SELECT block_key, COUNT(*) AS sz FROM keyed
+                 GROUP BY block_key),
+    after_k AS (SELECT block_key, COUNT(*) AS sz FROM kept
+                GROUP BY block_key)
+    SELECT 'before' AS stage, COUNT(*) AS n_blocks,
+           CAST(SUM(sz) AS BIGINT) AS n_assignments,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_pairs
+    FROM before_k
+    UNION ALL
+    SELECT 'filtered', COUNT(*), CAST(SUM(sz) AS BIGINT),
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT)
+    FROM after_k
+"""
+
+
 def _q_dynamic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dynamic blocking (recursive oversized-block splitting,
     # operators/blocking.py:dynamic_block_keys): first-token blocks
@@ -4030,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cluster_density": _q_cluster_density,
             "threshold_sweep": _q_threshold_sweep,
             "mutual_best_match": _q_mutual_best_match,
+            "block_filtering": _q_block_filtering,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -4541,6 +4606,9 @@ def oracle_sql() -> dict[str, str]:
                        END AS f1
                 FROM agg
             """,
+            "block_filtering": _BLOCK_FILTERING_ORACLE_TMPL.format(
+                keyed=_META_KEYED_SQL
+            ),
             "mutual_best_match": """
                 WITH pairs AS (
                     SELECT c.c_custkey, s.s_suppkey,

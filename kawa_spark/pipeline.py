@@ -27,6 +27,7 @@ from .config import DEFAULT_CONFIG, PipelineConfig
 from .operators.blocking import add_block_keys, candidate_pairs
 from .operators.cc import (
     assign_surface_clusters,
+    component_metrics,
     connected_components,
     constrained_components,
     repair_components,
@@ -119,6 +120,10 @@ class ERPipeline:
         self.partition_cols = partition_cols or []
         self.metrics: list[StageResult] = []
         self._persisted: list[DataFrame] = []
+        # populated by run() for cluster_metrics(); None until the
+        # clusters stage actually executes in this process
+        self._last_edges: DataFrame | None = None
+        self._last_components: DataFrame | None = None
 
     # ---------------- checkpoint / lineage ----------------
 
@@ -304,6 +309,7 @@ class ERPipeline:
                 return match_edges(score_pairs(pairs, self.embeddings, cfg), cfg)
 
         edges = self._fusable_stage("edges", resume, _mk_edges)
+        self._last_edges = edges
 
         def _norm_pairs_to_ids(pairs: DataFrame) -> DataFrame:
             # norms -> surface ids; inner joins drop constraints on
@@ -357,12 +363,60 @@ class ERPipeline:
                 cc_edges, comps, cl_ids, src="id_a", dst="id_b", score="score"
             )
 
-        clusters = self._stage(
-            "clusters",
-            resume,
-            lambda: assign_surface_clusters(mentions, surfaces, _components()),
-        )
+        def _clusters() -> DataFrame:
+            comps = _components()
+            self._last_components = comps
+            return assign_surface_clusters(mentions, surfaces, comps)
+
+        clusters = self._stage("clusters", resume, _clusters)
         return clusters
+
+    def cluster_metrics(self) -> DataFrame:
+        """Per-cluster graph diagnostics over the last run's match edges
+        and components (:func:`operators.cc.component_metrics`):
+        node/edge counts, edge density, weakest/strongest edge per
+        entity cluster — the hair-ball triage table that flags chain
+        merges for repair, computed from the already-scored edge stream
+        (no pair is re-scored). Components are keyed by surface id; map
+        through the clusters table's cluster_id to reach mentions.
+
+        Call after :meth:`run`. Raises if the clusters stage never
+        executed in this process (e.g. resumed straight from parquet —
+        resume skips CC, so there is no component table to diagnose).
+        Scored edges only (must-link rule edges are not diagnostics);
+        cannot-link repair can split a scored edge's endpoints into two
+        clusters — such cross-cluster edges are excluded, so a heavily
+        repaired cluster correctly reads as sparse. Without an
+        ``out_dir`` the lazy edge plan recomputes scoring when this
+        evaluates; with one it re-reads the durable stage parquet."""
+        if self._last_edges is None or self._last_components is None:
+            raise RuntimeError(
+                "cluster_metrics requires a run() that executed the "
+                "clusters stage in this process (a resume that restored "
+                "clusters from parquet skips component construction)"
+            )
+        comps = self._last_components
+        intra = (
+            self._last_edges.join(
+                comps.select(
+                    F.col("node").alias("id_b"),
+                    F.col("component").alias("_comp_b"),
+                ),
+                "id_b",
+            )
+            .join(
+                comps.select(
+                    F.col("node").alias("id_a"),
+                    F.col("component").alias("_comp_a"),
+                ),
+                "id_a",
+            )
+            .filter(F.col("_comp_a") == F.col("_comp_b"))
+            .select("id_a", "id_b", "score")
+        )
+        return component_metrics(
+            intra, comps, src="id_a", dst="id_b", weight="score"
+        )
 
     def unpersist(self) -> None:
         for df in self._persisted:

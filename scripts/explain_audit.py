@@ -286,6 +286,16 @@ CHECKS = {
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
     ],
+    # block filtering: size join is equi, per-record windows, exact-int
+    # budget arithmetic — and no pair stream is ever materialized
+    "block_filtering": [
+        ("size join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("per-record window present", lambda p: "Window" in p),
+        ("partial agg before shuffle", lambda p: "HashAggregate" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
     # symmetric-best 1:1 assignment: two row_number windows, equi pair
     # join, no global sort of the pair stream beyond the window sorts
     "mutual_best_match": [

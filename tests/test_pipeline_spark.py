@@ -427,3 +427,84 @@ class TestSavedLexiconConfigGuard:
         pipe = ERPipeline(spark, lexicon_path=path, cfg=cfg)
         with _pytest.raises(Exception, match="connector"):
             pipe.run(docs_df).collect()
+
+
+class TestClusterMetrics:
+    def test_metrics_over_last_run(self, spark, corpus, docs_df):
+        pipe = ERPipeline(spark, corpus.word2ner, corpus.embeddings)
+        with pytest.raises(RuntimeError):
+            pipe.cluster_metrics()  # before run(): nothing to diagnose
+        clusters = pipe.run(docs_df)
+        m = pipe.cluster_metrics().collect()
+        assert m, "pipeline produced no multi-member clusters"
+        comps = {r["component"] for r in m}
+        for r in m:
+            assert r["n_nodes"] >= 2
+            assert 0 < r["density"] <= 1.0
+            # scored edges passed the match threshold
+            assert r["min_w"] >= pipe.cfg.match_threshold
+            assert r["min_w"] <= r["max_w"]
+        # the metrics table covers exactly the non-singleton components
+        cluster_ids = {
+            r["cluster_id"]
+            for r in clusters.select("cluster_id").distinct().collect()
+        }
+        assert comps <= cluster_ids
+
+    def test_cannot_link_excludes_cross_cluster_edges(self, spark, corpus,
+                                                      docs_df):
+        """Under a cannot-link split, the scored edge that crossed the
+        repair boundary must not count toward either cluster's density."""
+        pipe0 = ERPipeline(spark, corpus.word2ner, corpus.embeddings)
+        pipe0.run(docs_df)
+        base = {r["component"]: r["n_edges"]
+                for r in pipe0.cluster_metrics().collect()}
+        # pick the weakest edge of the largest cluster and forbid it
+        edges = pipe0._last_edges
+        comps = pipe0._last_components
+        big = max(
+            ((r["component"], r["n_nodes"], r["n_edges"])
+             for r in pipe0.cluster_metrics().collect()),
+            key=lambda t: t[1],
+        )[0]
+        members = {
+            r["node"]
+            for r in comps.filter(F.col("component") == big).collect()
+        }
+        weakest = (
+            edges.filter(
+                F.col("id_a").isin(members) & F.col("id_b").isin(members)
+            )
+            .orderBy("score", "id_a", "id_b")
+            .first()
+        )
+        surf = (
+            pipe0.run(docs_df)
+            .select("norm", "mention_id").distinct()
+        )
+        norm_of = {
+            r["mention_id"]: r["norm"]
+            for r in surf.filter(
+                F.col("mention_id").isin([weakest["id_a"], weakest["id_b"]])
+            ).collect()
+        }
+        cl = spark.createDataFrame(
+            [(norm_of[weakest["id_a"]], norm_of[weakest["id_b"]])],
+            ["norm_a", "norm_b"],
+        )
+        pipe1 = ERPipeline(
+            spark, corpus.word2ner, corpus.embeddings, cannot_link=cl
+        )
+        pipe1.run(docs_df)
+        m1 = pipe1.cluster_metrics().collect()
+        total_base = sum(base.values())
+        total_cl = sum(r["n_edges"] for r in m1)
+        # at least the forbidden edge is gone from the intra-cluster set
+        assert total_cl < total_base
+        for r in m1:
+            if r["n_nodes"] == 1:
+                # repair may strand a node as its own component:
+                # density is undefined (NULL), edge count zero
+                assert r["density"] is None and r["n_edges"] == 0
+            else:
+                assert 0 < r["density"] <= 1.0
