@@ -3263,16 +3263,14 @@ _FS_PAIRS_SQL = """
 """
 
 
-def _q_fs_pattern_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fellegi-Sunter scoring plumbing end-to-end: blocked pairs ->
-    # 0/1 agreement vector (pure column expr) -> bounded (<=2^4 rows
-    # at ANY scale) pattern aggregate -> per-pattern log2 decision
-    # weight from the committed m/u snapshot, folded to literals
-    # (codegen arithmetic; no UDF, no join). At 10^12 docs this is one
-    # partial-agg shuffle over the already-bounded pair stream.
-    from kawa_spark.operators.linkage import agreement_vectors, fs_weight_expr
+def _fs_agreement_vec(spark: SparkSession) -> DataFrame:
+    # Shared FS comparison-vector construction (fs_pattern_weights and
+    # fs_em_weights): blocked pairs -> 0/1 agreement vector as pure
+    # column expressions, with the name-similarity bit computed on the
+    # DISTINCT-name pair space and broadcast back (see the inline
+    # comments below). Requires _views() to have been registered.
+    from kawa_spark.operators.linkage import agreement_vectors
 
-    _views(spark, sf_dir)
     pairs = spark.sql(_FS_PAIRS_SQL)
     # String-similarity bits belong on the DISTINCT-surface pair space,
     # not the quadratic row-pair stream (the ER pipeline's surfaces
@@ -3303,7 +3301,7 @@ def _q_fs_pattern_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("name_close_bit"),
         )
     )
-    vec = agreement_vectors(
+    return agreement_vectors(
         pairs.join(F.broadcast(name_dim), ["name_a", "name_b"]),
         {
             "brand_eq": F.col("brand_a") == F.col("brand_b"),
@@ -3312,6 +3310,19 @@ def _q_fs_pattern_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_eq": F.col("size_a") == F.col("size_b"),
         },
     )
+
+
+def _q_fs_pattern_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fellegi-Sunter scoring plumbing end-to-end: blocked pairs ->
+    # 0/1 agreement vector (pure column expr) -> bounded (<=2^4 rows
+    # at ANY scale) pattern aggregate -> per-pattern log2 decision
+    # weight from the committed m/u snapshot, folded to literals
+    # (codegen arithmetic; no UDF, no join). At 10^12 docs this is one
+    # partial-agg shuffle over the already-bounded pair stream.
+    from kawa_spark.operators.linkage import fs_weight_expr
+
+    _views(spark, sf_dir)
+    vec = _fs_agreement_vec(spark)
     return (
         vec.groupBy(*_FS_FIELDS, "pattern")
         .agg(F.count("*").alias("n_pairs"))
@@ -3352,6 +3363,119 @@ def _fs_oracle_sql() -> str:
         for f, (wa, wd) in zip(_FS_FIELDS, terms)
     )
     return _FS_ORACLE_TEMPLATE.format(pairs=_FS_PAIRS_SQL, weight=weight)
+
+
+def _fs_em_sql(vec_source: str) -> str:
+    """Two Winkler-EM iterations over the bounded agreement-pattern
+    table, as ONE dialect-neutral SQL string (runs verbatim on Spark
+    SQL and DuckDB; ``vec_source`` supplies the engine-specific 0/1
+    agreement columns).
+
+    Why SQL and not the driver loop: `fellegi_sunter_em`
+    (operators/linkage.py) collects the <=2^K pattern table and
+    iterates in Python — sanctioned because the table is bounded by
+    construction. This query proves the same fit is expressible as a
+    pure plan: the only data-scale operation is the pattern groupBy
+    (partial-agg shuffle over the already-blocked pair stream); every
+    EM step after it is arithmetic over <=16-row / 1-row tables
+    (scalar cross joins), so at 10^12 docs the cost profile is
+    identical to fs_pattern_weights. Iteration count is fixed (2,
+    unrolled — no data-dependent stopping), initialization fixed at
+    the Python EM's defaults (p0=0.1, m0=0.9, u0=0.1), clamps at the
+    same 1e-6 epsilon; tests/test_linkage.py pins the SQL fit against
+    fellegi_sunter_em(n_iter=2) to 1e-9.
+
+    All float literals are e-notation (1e-1 not 0.1) so DuckDB types
+    them DOUBLE rather than DECIMAL — both engines then evaluate the
+    identical IEEE expression tree; the aggregate sums span <=16
+    values, so ROUND(,6) output absorbs summation-order ulps.
+    """
+    fields = list(_FS_FIELDS)
+
+    def prod(param: str, init_a: str, init_d: str, src: str = "") -> str:
+        # product over fields of (param_f if bit else 1-param_f);
+        # param='' uses the init literals instead of iteration-1 cols
+        terms = []
+        for f in fields:
+            if param:
+                a, d = f"{src}m_{f}", f"(1e0 - {src}m_{f})"
+                if param == "u":
+                    a, d = f"{src}u_{f}", f"(1e0 - {src}u_{f})"
+            else:
+                a, d = init_a, init_d
+            terms.append(f"(CASE WHEN {f} = 1 THEN {a} ELSE {d} END)")
+        return " * ".join(terms)
+
+    def mstep(src: str) -> str:
+        cols = ["LEAST(GREATEST(SUM(n * w) / SUM(n), 1e-6), 1e0 - 1e-6)"
+                " AS p"]
+        for f in fields:
+            cols.append(
+                f"LEAST(GREATEST(SUM(CASE WHEN {f} = 1 THEN n * w"
+                f" ELSE 0e0 END) / SUM(n * w), 1e-6), 1e0 - 1e-6)"
+                f" AS m_{f}"
+            )
+            cols.append(
+                f"LEAST(GREATEST(SUM(CASE WHEN {f} = 1 THEN n * (1e0 - w)"
+                f" ELSE 0e0 END) / SUM(n * (1e0 - w)), 1e-6), 1e0 - 1e-6)"
+                f" AS u_{f}"
+            )
+        return ",\n               ".join(cols)
+
+    unpivot = "\n    UNION ALL\n".join(
+        f"""    SELECT '{f}' AS field,
+           ROUND(m_{f}, 6) AS m, ROUND(u_{f}, 6) AS u,
+           ROUND(log2(m_{f} / u_{f}), 6) AS w_agree,
+           ROUND(log2((1e0 - m_{f}) / (1e0 - u_{f})), 6) AS w_disagree,
+           ROUND(p, 6) AS p_match
+    FROM p2"""
+        for f in fields
+    )
+    flist = ", ".join(fields)
+    return f"""
+    WITH vec AS ({vec_source}),
+    counts AS (
+        SELECT {flist}, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM vec GROUP BY {flist}
+    ),
+    e1 AS (
+        SELECT {flist}, n,
+               (1e-1 * {prod('', '9e-1', '1e-1')})
+               / ((1e-1 * {prod('', '9e-1', '1e-1')})
+                  + (9e-1 * {prod('', '1e-1', '9e-1')})) AS w
+        FROM counts
+    ),
+    p1 AS (
+        SELECT {mstep('e1')}
+        FROM e1
+    ),
+    e2 AS (
+        SELECT {flist}, n,
+               (p1.p * {prod('m', '', '', 'p1.')})
+               / ((p1.p * {prod('m', '', '', 'p1.')})
+                  + ((1e0 - p1.p) * {prod('u', '', '', 'p1.')})) AS w
+        FROM counts CROSS JOIN p1
+    ),
+    p2 AS (
+        SELECT {mstep('e2')}
+        FROM e2
+    )
+{unpivot}
+    """
+
+
+def _q_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unsupervised m/u estimation for Fellegi-Sunter linkage (Winkler
+    # 1988 EM under conditional independence — the fitting step behind
+    # fs_pattern_weights' committed snapshot), expressed as a pure
+    # declarative plan: one bounded pattern aggregate at data scale,
+    # then two unrolled EM iterations over <=16-row tables. Output is
+    # the per-field (m, u, log2 agree/disagree weight, prevalence)
+    # table a linkage run would commit before scoring 10^12 pairs.
+    _views(spark, sf_dir)
+    _fs_agreement_vec(spark).createOrReplaceTempView("fs_vec_em")
+    flist = ", ".join(_FS_FIELDS)
+    return spark.sql(_fs_em_sql(f"SELECT {flist} FROM fs_vec_em"))
 
 
 def _q_constrained_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4075,6 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_recall": _q_ann_recall,
             "ann_recall_multi": _q_ann_recall_multi,
             "fs_pattern_weights": _q_fs_pattern_weights,
+            "fs_em_weights": _q_fs_em_weights,
             "constrained_cc": _q_constrained_cc,
             "meta_blocking": _q_meta_blocking,
             "gopher_quality": _q_gopher_quality,
@@ -4692,6 +4817,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE cbs * n > total
             """,
             "fs_pattern_weights": _fs_oracle_sql(),
+            "fs_em_weights": _fs_em_sql(f"""
+                SELECT CAST(brand_a = brand_b AS INT) AS brand_eq,
+                       CAST(CASE WHEN abs(length(name_a) - length(name_b)) > 2
+                                 THEN FALSE
+                                 ELSE levenshtein(name_a, name_b) <= 2
+                            END AS INT) AS name_close,
+                       CAST(size_a = size_b AS INT) AS size_eq,
+                       CAST(type_a = type_b AS INT) AS type_eq
+                FROM ({_FS_PAIRS_SQL}) pairs
+            """),
             "meta_blocking": f"""
                 WITH keyed AS ({_META_KEYED_SQL})
                 SELECT a.mention_id AS id_a, b.mention_id AS id_b,

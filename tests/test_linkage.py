@@ -128,6 +128,36 @@ class TestSparkSide:
         with pytest.raises(ValueError):
             fs_weight_expr(["a", "b"], [0.9], [0.1])
 
+    def test_em_sql_matches_python_em_two_iters(self, spark):
+        """The declarative fs_em_weights plan (2 unrolled EM iterations
+        in SQL) must reproduce fellegi_sunter_em(n_iter=2) on the same
+        pattern table — same init, same clamps, pure-plan vs driver
+        loop."""
+        import __spark_entry__ as entry
+
+        sf_dir = "/root/testdata/sf0.001"
+        entry._views(spark, sf_dir)
+        vec = entry._fs_agreement_vec(spark)
+        rows = [
+            (r["pattern"], r["n_pairs"]) for r in pattern_counts(vec).collect()
+        ]
+        direct = fellegi_sunter_em(rows, list(entry._FS_FIELDS), n_iter=2)
+        got = {
+            r["field"]: r
+            for r in entry._q_fs_em_weights(spark, sf_dir).collect()
+        }
+        assert set(got) == set(entry._FS_FIELDS)
+        for k, f in enumerate(entry._FS_FIELDS):
+            assert got[f]["m"] == pytest.approx(direct.m[k], abs=1e-6)
+            assert got[f]["u"] == pytest.approx(direct.u[k], abs=1e-6)
+            assert got[f]["p_match"] == pytest.approx(direct.p_match, abs=1e-6)
+            assert got[f]["w_agree"] == pytest.approx(
+                direct.agree_weight(k), abs=1e-5
+            )
+            assert got[f]["w_disagree"] == pytest.approx(
+                direct.disagree_weight(k), abs=1e-5
+            )
+
 
 class TestConstrainedCC:
     def _edges(self, spark, rows):
