@@ -3938,6 +3938,130 @@ def _q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Similarity graph for star clustering: brand-blocked part pairs at
+# normalized-edit-similarity >= 0.55 (size-capped to bound the block
+# quadratic). Pairs are unique with u < v by construction, so the
+# symmetrized view below can use UNION ALL.
+_STAR_EDGES_SQL = """
+    SELECT a.p_partkey AS u, b.p_partkey AS v
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_size <= 25 AND b.p_size <= 25
+      AND 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+             / greatest(length(a.p_name), length(b.p_name)) >= 0.55
+"""
+
+
+def _q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Star clustering (Aslam/Pelekhov/Rus, the standard graph-cluster
+    # alternative ER systems offer next to connected components): local
+    # degree maxima become cluster centers, every other node attaches
+    # to its best center neighbor. Unlike CC's transitive closure,
+    # stars can NEVER chain-merge — cluster diameter is <= 2 by
+    # construction, which is exactly the repair CC's hair-ball failure
+    # mode needs (see cluster_density). This is the deterministic
+    # single-pass variant: center(v) iff no neighbor dominates v by
+    # (degree, smaller-id) — one groupBy over the neighbor stream, no
+    # iteration, no driver state; attachment is one per-node window
+    # over center neighbors (partitions bounded by max degree, which
+    # blocking bounds). Orphans (non-centers with only non-center
+    # neighbors — possible on e.g. a 4-cycle) become singletons.
+    # At 10^12 docs: two joins on node keys + one bounded window; every
+    # aggregate combines map-side. No UDFs, no collect.
+    from pyspark.sql.window import Window
+
+    _views(spark, sf_dir)
+    e = spark.sql(_STAR_EDGES_SQL)
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    dega = deg.select(F.col("a").alias("na"), F.col("deg").alias("deg_a"))
+    degb = deg.select(F.col("a").alias("nb"), F.col("deg").alias("deg_b"))
+    nbr = (
+        sym.join(dega, sym["a"] == dega["na"])
+        .join(degb, sym["b"] == degb["nb"])
+        .select("a", "b", "deg_a", "deg_b")
+    )
+    dominated = F.max(
+        F.when(
+            (F.col("deg_b") > F.col("deg_a"))
+            | ((F.col("deg_b") == F.col("deg_a")) & (F.col("b") < F.col("a"))),
+            1,
+        ).otherwise(0)
+    )
+    centers = (
+        nbr.groupBy("a").agg(dominated.alias("dom"))
+        .filter(F.col("dom") == 0)
+        .select("a")
+    )
+    cand = nbr.join(centers.withColumnRenamed("a", "c"),
+                    nbr["b"] == F.col("c")).join(
+        centers, "a", "left_anti"
+    )
+    w = Window.partitionBy("a").orderBy(F.col("deg_b").desc(), F.col("b"))
+    attached = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("a", "b")
+    )
+    return (
+        centers.select(
+            F.col("a").alias("node"),
+            F.col("a").alias("star"),
+            F.lit(1).alias("is_center"),
+        )
+        .unionAll(
+            attached.select(
+                F.col("a").alias("node"),
+                F.col("b").alias("star"),
+                F.lit(0).alias("is_center"),
+            )
+        )
+        .unionAll(
+            deg.join(centers, "a", "left_anti")
+            .join(attached.select("a"), "a", "left_anti")
+            .select(
+                F.col("a").alias("node"),
+                F.col("a").alias("star"),
+                F.lit(0).alias("is_center"),
+            )
+        )
+    )
+
+
+_STAR_ORACLE_SQL = f"""
+    WITH e AS ({_STAR_EDGES_SQL}),
+    sym AS (SELECT u AS a, v AS b FROM e
+            UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+    nbr AS (SELECT s.a, s.b, da.deg AS deg_a, db.deg AS deg_b
+            FROM sym s JOIN deg da ON s.a = da.a
+                       JOIN deg db ON s.b = db.a),
+    flags AS (SELECT a,
+                     MAX(CASE WHEN deg_b > deg_a
+                              OR (deg_b = deg_a AND b < a)
+                         THEN 1 ELSE 0 END) AS dom
+              FROM nbr GROUP BY a),
+    centers AS (SELECT a FROM flags WHERE dom = 0),
+    cand AS (SELECT n.a, n.b, n.deg_b
+             FROM nbr n JOIN centers c ON n.b = c.a
+             WHERE n.a NOT IN (SELECT a FROM centers)),
+    ranked AS (SELECT a, b,
+                      ROW_NUMBER() OVER (PARTITION BY a
+                                         ORDER BY deg_b DESC, b) AS rk
+               FROM cand),
+    attached AS (SELECT a, b FROM ranked WHERE rk = 1)
+    SELECT a AS node, a AS star, 1 AS is_center FROM centers
+    UNION ALL
+    SELECT a, b, 0 FROM attached
+    UNION ALL
+    SELECT d.a, d.a, 0 FROM deg d
+    WHERE d.a NOT IN (SELECT a FROM centers)
+      AND d.a NOT IN (SELECT a FROM attached)
+"""
+
+
 def _q_block_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Block filtering (Papadakis et al., "Meta-Blocking: Taking Entity
     # Resolution to the Next Level" / block-processing family): with
@@ -4220,6 +4344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "threshold_sweep": _q_threshold_sweep,
             "mutual_best_match": _q_mutual_best_match,
             "block_filtering": _q_block_filtering,
+            "star_clusters": _q_star_clusters,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -4734,6 +4859,7 @@ def oracle_sql() -> dict[str, str]:
             "block_filtering": _BLOCK_FILTERING_ORACLE_TMPL.format(
                 keyed=_META_KEYED_SQL
             ),
+            "star_clusters": _STAR_ORACLE_SQL,
             "mutual_best_match": """
                 WITH pairs AS (
                     SELECT c.c_custkey, s.s_suppkey,
