@@ -1782,6 +1782,85 @@ def _q_ari_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# Entropy tail shared by the Spark query and the DuckDB oracle for
+# nmi_eval: everything below the contingency table (pt: pkey, tkey,
+# n_pt) is dialect-neutral SQL. Counts are exact BIGINTs up to the
+# final log2/division expressions; the float sums span the bounded
+# cell table, so ROUND(,6) absorbs cross-engine summation-order and
+# libm-log2 ulps.
+_NMI_TAIL_SQL = """
+    tot AS (SELECT CAST(SUM(n_pt) AS DOUBLE) AS n FROM pt),
+    mp AS (SELECT pkey, CAST(SUM(n_pt) AS DOUBLE) AS n_p
+           FROM pt GROUP BY pkey),
+    mt AS (SELECT tkey, CAST(SUM(n_pt) AS DOUBLE) AS n_t
+           FROM pt GROUP BY tkey),
+    mi AS (
+        SELECT SUM((p.n_pt / t.n)
+                   * log2(t.n * p.n_pt / (mp.n_p * mt.n_t))) AS mi
+        FROM pt p
+        JOIN mp ON p.pkey = mp.pkey
+        JOIN mt ON p.tkey = mt.tkey
+        CROSS JOIN tot t
+    ),
+    hp AS (SELECT -SUM((n_p / t.n) * log2(n_p / t.n)) AS h_pred
+           FROM mp CROSS JOIN tot t),
+    ht AS (SELECT -SUM((n_t / t.n) * log2(n_t / t.n)) AS h_true
+           FROM mt CROSS JOIN tot t)
+    SELECT CAST(t.n AS BIGINT) AS n_docs,
+           ROUND(hp.h_pred, 6) AS h_pred,
+           ROUND(ht.h_true, 6) AS h_true,
+           ROUND(mi.mi, 6) AS mi,
+           ROUND(2e0 * mi.mi / (hp.h_pred + ht.h_true), 6) AS nmi
+    FROM tot t CROSS JOIN hp CROSS JOIN ht CROSS JOIN mi
+"""
+
+
+def _q_nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Normalized mutual information between the SimHash bucket
+    # clustering and the lang partition — the information-theoretic
+    # member of the cluster-eval family (pairwise F1 via eval_f1_shape,
+    # B-cubed, ARI, NMI = the four standard ER metrics; NMI is the one
+    # that penalizes over-splitting and over-merging symmetrically via
+    # the entropy normalizer 2*I/(H_pred+H_true)). Same contingency
+    # build as ari_eval: exact BIGINT cell counts from two partial-agg
+    # shuffles; the entropy tail runs over the bounded cell table
+    # (<= buckets x langs rows), so at 10^12 docs the cost is the two
+    # aggregations, not the metric.
+    _views(spark, sf_dir)
+    h = _hash60_sql("tok")
+    return spark.sql(f"""
+        WITH sims AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0
+                            THEN CAST(shiftleft(CAST(1 AS BIGINT), b)
+                                      AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS pkey
+            FROM (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN shiftright(h, b) % 2 = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM (
+                    SELECT doc_id, {h} AS h
+                    FROM (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       explode(split(lower(text), ' ')) AS tok
+                                FROM documents) e) t
+                ) hh
+                LATERAL VIEW explode(sequence(0, 15)) s AS b
+                GROUP BY doc_id, b
+            ) votes
+            GROUP BY doc_id
+        ),
+        j AS (
+            SELECT s.doc_id, s.pkey, d.lang AS tkey
+            FROM sims s JOIN documents d ON s.doc_id = d.doc_id
+        ),
+        pt AS (SELECT pkey, tkey, COUNT(*) AS n_pt
+               FROM j GROUP BY pkey, tkey),
+        {_NMI_TAIL_SQL}
+    """)
+
+
 def _q_block_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Blocking-key skew diagnostic: the log2 histogram of block sizes
     # under first-token blocking — the number you look at BEFORE
@@ -4345,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mutual_best_match": _q_mutual_best_match,
             "block_filtering": _q_block_filtering,
             "star_clusters": _q_star_clusters,
+            "nmi_eval": _q_nmi_eval,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -4860,6 +4940,37 @@ def oracle_sql() -> dict[str, str]:
                 keyed=_META_KEYED_SQL
             ),
             "star_clusters": _STAR_ORACLE_SQL,
+            "nmi_eval": f"""
+                WITH sims AS (
+                    SELECT doc_id,
+                           CAST(SUM(CASE WHEN v > 0
+                                    THEN (CAST(1 AS BIGINT) << b)
+                                    ELSE 0 END) AS BIGINT) AS pkey
+                    FROM (
+                        SELECT doc_id, b,
+                               SUM(CASE WHEN (h >> b) & 1 = 1
+                                   THEN 1 ELSE -1 END) AS v
+                        FROM (
+                            SELECT doc_id, {_hash60_duck("tok")} AS h
+                            FROM (SELECT DISTINCT doc_id, tok
+                                  FROM (SELECT doc_id,
+                                               unnest(string_split(lower(text), ' ')) AS tok
+                                        FROM documents) e) t
+                        ) hh
+                        CROSS JOIN (SELECT unnest(generate_series(0, 15))
+                                    AS b) s
+                        GROUP BY doc_id, b
+                    ) votes
+                    GROUP BY doc_id
+                ),
+                j AS (
+                    SELECT s.doc_id, s.pkey, d.lang AS tkey
+                    FROM sims s JOIN documents d ON s.doc_id = d.doc_id
+                ),
+                pt AS (SELECT pkey, tkey, COUNT(*) AS n_pt
+                       FROM j GROUP BY pkey, tkey),
+                {_NMI_TAIL_SQL}
+            """,
             "mutual_best_match": """
                 WITH pairs AS (
                     SELECT c.c_custkey, s.s_suppkey,

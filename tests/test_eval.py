@@ -1,10 +1,56 @@
 """Eval metrics: NER string-match F1 (single-job fold), pairwise F1
-shapes, and B-cubed (kawa_spark/eval.py; reference harness
-/root/reference/eval.py:173-199)."""
+shapes, B-cubed (kawa_spark/eval.py; reference harness
+/root/reference/eval.py:173-199), and the NMI entropy tail."""
+
+import math
 
 import pytest
 
 from kawa_spark.eval import bcubed, ner_string_f1
+
+
+def _nmi_tail(spark, cells):
+    import __spark_entry__ as entry
+
+    spark.createDataFrame(
+        cells, "pkey BIGINT, tkey STRING, n_pt BIGINT"
+    ).createOrReplaceTempView("pt_test")
+    return spark.sql(
+        "WITH pt AS (SELECT * FROM pt_test), " + entry._NMI_TAIL_SQL
+    ).collect()[0]
+
+
+def test_nmi_identical_clusterings_is_one(spark):
+    r = _nmi_tail(spark, [(1, "a", 3), (2, "b", 2)])
+    assert r["nmi"] == pytest.approx(1.0)
+    assert r["mi"] == pytest.approx(r["h_pred"]) == pytest.approx(r["h_true"])
+
+
+def test_nmi_independent_clusterings_is_zero(spark):
+    r = _nmi_tail(
+        spark, [(1, "a", 2), (1, "b", 2), (2, "a", 2), (2, "b", 2)]
+    )
+    assert r["mi"] == pytest.approx(0.0, abs=1e-9)
+    assert r["nmi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_nmi_hand_example(spark):
+    # pred {1:{3 a}, 2:{1 a, 2 b}}; n=6; marginals: pkeys (3,3),
+    # tkeys (a:4, b:2)
+    cells = [(1, "a", 3), (2, "a", 1), (2, "b", 2)]
+    n = 6.0
+    mi = sum(
+        (c / n) * math.log2(n * c / (np_ * nt))
+        for c, np_, nt in [(3, 3, 4), (1, 3, 4), (2, 3, 2)]
+    )
+    hp = -sum((x / n) * math.log2(x / n) for x in (3.0, 3.0))
+    ht = -sum((x / n) * math.log2(x / n) for x in (4.0, 2.0))
+    r = _nmi_tail(spark, cells)
+    assert r["n_docs"] == 6
+    assert r["mi"] == pytest.approx(mi, abs=1e-6)
+    assert r["h_pred"] == pytest.approx(hp, abs=1e-6)
+    assert r["h_true"] == pytest.approx(ht, abs=1e-6)
+    assert r["nmi"] == pytest.approx(2 * mi / (hp + ht), abs=1e-6)
 
 
 def test_ner_string_f1_single_job_counts(spark):
