@@ -358,6 +358,91 @@ _COMMON_SQL: dict[str, str] = {
         ) r
         WHERE rk <= 5
     """,
+    # Group linkage (On/Koudas/Lee/Srivastava-style): link GROUPS of
+    # records across two sources by member-level similarity — here the
+    # two "catalogs" are the disjoint low-size / high-size part
+    # subsets, groups are brands, members are distinct names. Member
+    # matches are first-token-blocked normalized-edit-sim >= 0.75 (an
+    # equi-join, never a cross product); the bipartite-matching
+    # normalizer is approximated by two-side coverage: sim =
+    # (matched_a + matched_b) / (|g_a| + |g_b|), exact BIGINT counts
+    # with one final division. Scale shape: one blocked member join +
+    # three partial-agg shuffles on group keys; output bounded at
+    # |brands|^2.
+    "group_linkage": """
+        WITH a_side AS (
+            SELECT DISTINCT p_brand AS g, p_name AS name,
+                   split_part(p_name, ' ', 1) AS blk
+            FROM part WHERE p_size <= 25
+        ),
+        b_side AS (
+            SELECT DISTINCT p_brand AS g, p_name AS name,
+                   split_part(p_name, ' ', 1) AS blk
+            FROM part WHERE p_size > 25
+        ),
+        m AS (
+            SELECT a.g AS ga, b.g AS gb, a.name AS name_a, b.name AS name_b
+            FROM a_side a JOIN b_side b ON a.blk = b.blk
+            WHERE 1e0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+                  / greatest(length(a.name), length(b.name)) >= 75e-2
+        ),
+        mm AS (
+            SELECT ga, gb,
+                   COUNT(DISTINCT name_a) AS matched_a,
+                   COUNT(DISTINCT name_b) AS matched_b
+            FROM m GROUP BY ga, gb
+        ),
+        sza AS (SELECT g, COUNT(*) AS size_a
+                FROM (SELECT DISTINCT g, name FROM a_side) x GROUP BY g),
+        szb AS (SELECT g, COUNT(*) AS size_b
+                FROM (SELECT DISTINCT g, name FROM b_side) x GROUP BY g)
+        SELECT ga AS brand_a, gb AS brand_b,
+               size_a, size_b, matched_a, matched_b,
+               ROUND(CAST(matched_a + matched_b AS DOUBLE)
+                     / (size_a + size_b), 6) AS sim
+        FROM mm JOIN sza ON ga = sza.g JOIN szb ON gb = szb.g
+    """,
+    # Multi-pass blocking provenance (Hernandez & Stolfo merge/purge):
+    # three independent blocking passes over parts, the union of their
+    # candidate pairs, and each pass's marginal value — n_pairs it
+    # generates and n_unique it alone contributes. This is the table
+    # you read before dropping a pass at 10^12 docs (a pass whose
+    # pairs are all redundant is pure cost). Composite keys keep every
+    # block bounded; all counts exact BIGINTs; one pair-key groupBy +
+    # one re-join, no window.
+    "multipass_blocking": """
+        WITH tagged AS (
+            SELECT 'tok_size' AS pass, a.p_partkey AS id_a,
+                   b.p_partkey AS id_b
+            FROM part a JOIN part b
+              ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+             AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+            UNION ALL
+            SELECT 'brand_type', a.p_partkey, b.p_partkey
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+             AND a.p_partkey < b.p_partkey
+            UNION ALL
+            SELECT 'type_size', a.p_partkey, b.p_partkey
+            FROM part a JOIN part b
+              ON a.p_type = b.p_type AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+        ),
+        per AS (
+            SELECT id_a, id_b, COUNT(*) AS np
+            FROM tagged GROUP BY id_a, id_b
+        )
+        SELECT t.pass,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN p.np = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique
+        FROM tagged t JOIN per p ON t.id_a = p.id_a AND t.id_b = p.id_b
+        GROUP BY t.pass
+        UNION ALL
+        SELECT 'union', COUNT(*),
+               CAST(SUM(CASE WHEN np = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM per
+    """,
 }
 
 
