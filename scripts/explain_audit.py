@@ -397,6 +397,64 @@ CHECKS = {
         ("scan prunes to text only", lambda p: re.search(
             r"ReadSchema: struct<text:string>", p) is not None),
     ],
+    # declarative EM: the only data-scale op is the pattern aggregate;
+    # everything after runs on <=16-row tables (scalar cross joins are
+    # the sanctioned single-row BNLJ pattern)
+    "fs_em_weights": [
+        ("map-side partial agg before pattern exchange", lambda p:
+         "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("scan never reads p_retailprice", lambda p:
+         "p_retailprice" not in p),
+    ],
+    # star clustering: degree aggregate + two node-key equi joins + one
+    # bounded attachment window — never a theta join
+    "star_clusters": [
+        ("no cartesian/BNLJ", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("map-side partial agg for degrees", lambda p: "partial_" in p),
+        ("single attachment window", lambda p: p.count("Window") >= 1),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # Monge-Elkan: the measure itself must add NOTHING to the plan —
+    # no explode (Generate), no window, no Python; just the blocked
+    # equi-join plus codegen'd higher-order-function projection
+    "monge_elkan": [
+        ("no explode (pure HOF projection)", lambda p:
+         "Generate" not in p),
+        ("no window", lambda p: "Window" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("block join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("scan never reads p_retailprice", lambda p:
+         "p_retailprice" not in p),
+    ],
+    # group linkage: blocked member equi-join + group-key partial aggs
+    "group_linkage": [
+        ("member join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # multi-pass blocking: three key equi-joins + pair-key partial agg
+    "multipass_blocking": [
+        ("pass joins are equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("map-side partial agg on pair key", lambda p: "partial_" in p),
+    ],
+    # NMI: same contingency shapes as ari_eval — two partial-agg
+    # shuffles at data scale, entropy tail over the bounded cell table
+    "nmi_eval": [
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 
