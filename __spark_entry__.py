@@ -4203,66 +4203,15 @@ def _q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking bounds). Orphans (non-centers with only non-center
     # neighbors — possible on e.g. a 4-cycle) become singletons.
     # At 10^12 docs: two joins on node keys + one bounded window; every
-    # aggregate combines map-side. No UDFs, no collect.
-    from pyspark.sql.window import Window
+    # aggregate combines map-side. No UDFs, no collect. The algorithm
+    # lives in operators/star.py (also the PipelineConfig
+    # clustering="star" path).
+    from kawa_spark.operators.star import star_components
 
     _views(spark, sf_dir)
     e = spark.sql(_STAR_EDGES_SQL)
-    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    dega = deg.select(F.col("a").alias("na"), F.col("deg").alias("deg_a"))
-    degb = deg.select(F.col("a").alias("nb"), F.col("deg").alias("deg_b"))
-    nbr = (
-        sym.join(dega, sym["a"] == dega["na"])
-        .join(degb, sym["b"] == degb["nb"])
-        .select("a", "b", "deg_a", "deg_b")
-    )
-    dominated = F.max(
-        F.when(
-            (F.col("deg_b") > F.col("deg_a"))
-            | ((F.col("deg_b") == F.col("deg_a")) & (F.col("b") < F.col("a"))),
-            1,
-        ).otherwise(0)
-    )
-    centers = (
-        nbr.groupBy("a").agg(dominated.alias("dom"))
-        .filter(F.col("dom") == 0)
-        .select("a")
-    )
-    cand = nbr.join(centers.withColumnRenamed("a", "c"),
-                    nbr["b"] == F.col("c")).join(
-        centers, "a", "left_anti"
-    )
-    w = Window.partitionBy("a").orderBy(F.col("deg_b").desc(), F.col("b"))
-    attached = (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("a", "b")
-    )
-    return (
-        centers.select(
-            F.col("a").alias("node"),
-            F.col("a").alias("star"),
-            F.lit(1).alias("is_center"),
-        )
-        .unionAll(
-            attached.select(
-                F.col("a").alias("node"),
-                F.col("b").alias("star"),
-                F.lit(0).alias("is_center"),
-            )
-        )
-        .unionAll(
-            deg.join(centers, "a", "left_anti")
-            .join(attached.select("a"), "a", "left_anti")
-            .select(
-                F.col("a").alias("node"),
-                F.col("a").alias("star"),
-                F.lit(0).alias("is_center"),
-            )
-        )
+    return star_components(e, src="u", dst="v").select(
+        "node", F.col("component").alias("star"), "is_center"
     )
 
 

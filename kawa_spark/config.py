@@ -66,6 +66,15 @@ class PipelineConfig:
     fs_cos_cut: float = 0.9
     # clustering
     cc_max_iter: int = 20
+    # clustering strategy: "cc" (default, reference-parity transitive
+    # closure) or "star" (operators/star.py — diameter-2 star clusters,
+    # the opt-in over-merge control: borderline matches cannot
+    # daisy-chain distinct entities). "star" is structural (ignores
+    # edge scores) and cannot honor must_link pairs, so ERPipeline
+    # rejects that combination loudly; cannot_link composes (direct
+    # edges dropped pre-clustering, residual violations split by the
+    # same greedy repair).
+    clustering: str = "cc"
 
     def fingerprint(self) -> str:
         return hashlib.sha1(

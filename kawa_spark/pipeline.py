@@ -105,6 +105,21 @@ class ERPipeline:
         precedence: never re-merge an adjudicated-distinct pair)."""
         if word2ner is None and lexicon_path is None:
             raise ValueError("ERPipeline needs word2ner or lexicon_path")
+        _cfg = cfg or DEFAULT_CONFIG
+        if _cfg.clustering not in ("cc", "star"):
+            raise ValueError(
+                f"unknown clustering strategy {_cfg.clustering!r}"
+                " (expected 'cc' or 'star')"
+            )
+        if _cfg.clustering == "star" and must_link is not None:
+            # star clustering is structural (centers by degree, not
+            # score); a +inf must-link edge cannot force co-membership
+            # the way it does under transitive closure — fail loud
+            # instead of silently weakening an adjudicated-same rule
+            raise ValueError(
+                "must_link requires clustering='cc' (star clustering"
+                " cannot guarantee positive-rule co-membership)"
+            )
         self.spark = spark
         self.word2ner = word2ner
         self.lexicon_path = lexicon_path
@@ -333,6 +348,50 @@ class ERPipeline:
 
         def _components() -> DataFrame:
             reliable = bool(self.out_dir)
+            if cfg.clustering == "star":
+                # diameter-2 star clusters (operators/star.py): the
+                # opt-in over-merge control. Structural — must_link is
+                # rejected in __init__; cannot_link composes exactly
+                # like the CC path (direct edges dropped before
+                # clustering, residual violations split by the same
+                # greedy repair).
+                from .operators.cc import _ckpt
+                from .operators.star import star_components
+
+                star_edges = edges.select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    "score",
+                )
+                if self.cannot_link is not None:
+                    cl_ids = _norm_pairs_to_ids(self.cannot_link).select(
+                        F.least("id_a", "id_b").alias("cl_u"),
+                        F.greatest("id_a", "id_b").alias("cl_v"),
+                    ).distinct()
+                    star_edges = star_edges.join(
+                        F.broadcast(cl_ids),
+                        (star_edges["id_a"] == cl_ids["cl_u"])
+                        & (star_edges["id_b"] == cl_ids["cl_v"]),
+                        "left_anti",
+                    )
+                # Truncate lineage BEFORE fan-out: star_components
+                # references its input several times (sym both ways,
+                # two degree joins) and repair references the component
+                # table five more — without a checkpoint each reference
+                # re-inlines the full extraction plan and the combined
+                # tree grows multiplicatively (observed: plan-tree OOM
+                # at 80 docs). Same _ckpt the CC rounds use.
+                star_edges = _ckpt(star_edges, reliable)
+                comps = star_components(star_edges).select(
+                    "node", "component"
+                )
+                if self.cannot_link is None:
+                    return comps
+                return repair_components(
+                    star_edges, _ckpt(comps, reliable),
+                    _norm_pairs_to_ids(self.cannot_link),
+                    src="id_a", dst="id_b", score="score",
+                )
             cc_edges = edges
             if self.must_link is not None:
                 # positive rules ride the edge list at +inf score: they
