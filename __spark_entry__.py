@@ -4174,6 +4174,86 @@ def _q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_monge_elkan_sql("spark"))
 
 
+def _soft_tfidf_sql(dialect: str) -> str:
+    """Soft-TF-IDF (Cohen, Ravikumar & Fienberg, IIWeb 2003) over the
+    same blocked part-name pairs as monge_elkan — the IDF-weighted
+    hybrid that won their measure comparison: rare tokens dominate the
+    score, and near-matches (inner normalized-edit sim >= 0.9) count
+    with their similarity as a discount.
+
+    softTFIDF(A,B) = sum over tokens a of A with a close partner in B
+    of v(a,A) * v(best b,B) * sim(a, best b), where v is the
+    L2-normalized smooth-IDF weight (tf = 1 under set semantics, idf =
+    ln((N+1)/(df+1)) over the DISTINCT-name corpus). Only pairs with at
+    least one close token appear (everything else scores 0).
+
+    Scale shape: the weight table is built once on the distinct-name
+    dim (two partial-agg shuffles, bounded by vocabulary), then joined
+    to the blocked pair stream; the best-partner election is one window
+    whose partitions are single-name token sets (<= ~7 rows). No UDF,
+    no cartesian — the token fan-out is bounded at |toks_a|x|toks_b|
+    per pair.
+    """
+    if dialect == "spark":
+        ntok = """
+        SELECT DISTINCT name, tok
+        FROM names LATERAL VIEW explode(split(name, ' ')) t AS tok"""
+    else:
+        ntok = """
+        SELECT DISTINCT name, unnest(string_split(name, ' ')) AS tok
+        FROM names"""
+    return f"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    ntok AS ({ntok}),
+    nn AS (SELECT COUNT(*) AS n FROM names),
+    df AS (SELECT tok, COUNT(*) AS df FROM ntok GROUP BY tok),
+    w AS (
+        SELECT nt.name, nt.tok, ln((nn.n + 1e0) / (df.df + 1e0)) AS idf
+        FROM ntok nt JOIN df ON nt.tok = df.tok CROSS JOIN nn
+    ),
+    nrm AS (SELECT name, sqrt(SUM(idf * idf)) AS nrm FROM w GROUP BY name),
+    wv AS (
+        -- nrm = 0 iff every token of the name occurs in every corpus
+        -- name (all idf 0) — such a name carries no signal; weight 0
+        -- instead of an ANSI divide-by-zero
+        SELECT w.name, w.tok,
+               CASE WHEN nrm.nrm > 0e0 THEN w.idf / nrm.nrm
+                    ELSE 0e0 END AS v
+        FROM w JOIN nrm ON w.name = nrm.name
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               a.p_name AS name_a, b.p_name AS name_b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    ),
+    tp AS (
+        SELECT p.id_a, p.id_b, wa.tok AS ta, wa.v AS va,
+               wb.tok AS tb, wb.v AS vb,
+               1e0 - CAST(levenshtein(wa.tok, wb.tok) AS DOUBLE)
+                     / greatest(length(wa.tok), length(wb.tok)) AS sim
+        FROM pairs p
+        JOIN wv wa ON wa.name = p.name_a
+        JOIN wv wb ON wb.name = p.name_b
+    ),
+    best AS (
+        SELECT id_a, id_b, ta, va, vb, sim,
+               ROW_NUMBER() OVER (PARTITION BY id_a, id_b, ta
+                                  ORDER BY sim DESC, tb) AS rk
+        FROM tp WHERE sim >= 9e-1
+    )
+    SELECT id_a, id_b, ROUND(SUM(va * vb * sim), 6) AS soft_tfidf
+    FROM best WHERE rk = 1
+    GROUP BY id_a, id_b
+    """
+
+
+def _q_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_soft_tfidf_sql("spark"))
+
+
 # Similarity graph for star clustering: brand-blocked part pairs at
 # normalized-edit-similarity >= 0.55 (size-capped to bound the block
 # quadratic). Pairs are unique with u < v by construction, so the
@@ -4532,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "star_clusters": _q_star_clusters,
             "nmi_eval": _q_nmi_eval,
             "monge_elkan": _q_monge_elkan,
+            "soft_tfidf": _q_soft_tfidf,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -5048,6 +5129,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             "star_clusters": _STAR_ORACLE_SQL,
             "monge_elkan": _monge_elkan_sql("duckdb"),
+            "soft_tfidf": _soft_tfidf_sql("duckdb"),
             "nmi_eval": f"""
                 WITH sims AS (
                     SELECT doc_id,
