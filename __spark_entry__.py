@@ -1737,6 +1737,115 @@ def _q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snm_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sorted-neighborhood window tuning (the blocking analog of
+    # threshold_sweep): ONE pair materialization at the maximum window
+    # (8), then every smaller window's exact (pairs completeness,
+    # reduction ratio) pair — Christen's metric pair — read off by
+    # rank distance against a 7-row broadcast grid. Truth = exact-dup
+    # pairs (same md5(text)); total dup pairs comes from one partial-
+    # agg groupBy (Σ C(m,2), exact BIGINT), never a pair join. This is
+    # the table you pick `window` from before a 10^12-doc run: one
+    # sweep costs the same as one blocking pass at w=8.
+    from kawa_spark.operators.blocking import sorted_neighborhood_pairs
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, 12).alias("skey"),
+        # near-dup truth: 40-char prefix fingerprint (this corpus has
+        # no full-text exact dups; prefix dups share the sort
+        # dimension, which is exactly the recall SN is built to catch)
+        F.md5(F.substring(F.col("text"), 1, 40)).alias("fp"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        docs, ["skey"], "doc_id", window=8, payload_cols=("fp",)
+    )
+    grid = spark.range(2, 9).select(F.col("id").alias("w"))
+    hit = F.col("rank_b") - F.col("rank_a") < F.col("w")
+    agg = (
+        pairs.join(F.broadcast(grid))
+        .groupBy("w")
+        .agg(
+            F.sum(hit.cast("int")).cast("bigint").alias("n_pairs"),
+            F.sum((hit & (F.col("fp_a") == F.col("fp_b"))).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_captured"),
+        )
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n")).crossJoin(
+        docs.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.sum(F.expr("m * (m - 1) div 2")).cast("bigint")
+            .alias("total_dups")
+        )
+    )
+    out = agg.crossJoin(F.broadcast(tot))
+    return out.select(
+        "w",
+        "n_pairs",
+        "n_dup_captured",
+        "total_dups",
+        F.when(
+            F.col("total_dups") > 0,
+            F.round(
+                F.col("n_dup_captured")
+                / F.col("total_dups").cast("double"),
+                6,
+            ),
+        ).alias("pairs_completeness"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_pairs")
+            / (F.expr("n * (n - 1) div 2")).cast("double"),
+            6,
+        ).alias("reduction_ratio"),
+    )
+
+
+_SNM_SWEEP_ORACLE_SQL = """
+    WITH docs AS (
+        SELECT doc_id, substring(lower(text), 1, 12) AS skey,
+               md5(substring(text, 1, 40)) AS fp
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, fp,
+               ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rnk
+        FROM docs
+    ),
+    pairs AS (
+        SELECT a.fp AS fp_a, b.fp AS fp_b, b.rnk - a.rnk AS d
+        FROM ranked a JOIN ranked b
+          ON b.rnk - a.rnk BETWEEN 1 AND 7
+    ),
+    grid AS (SELECT unnest(generate_series(2, 8)) AS w),
+    agg AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN d < w THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pairs,
+               CAST(SUM(CASE WHEN d < w AND fp_a = fp_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_captured
+        FROM pairs CROSS JOIN grid
+        GROUP BY w
+    ),
+    tot AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM docs) AS n,
+               (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT)
+                FROM (SELECT COUNT(*) AS m FROM docs GROUP BY fp) g)
+                   AS total_dups
+    )
+    SELECT w, n_pairs, n_dup_captured, total_dups,
+           CASE WHEN total_dups > 0
+                THEN ROUND(n_dup_captured / CAST(total_dups AS DOUBLE), 6)
+           END AS pairs_completeness,
+           ROUND(1e0 - n_pairs / CAST(n * (n - 1) // 2 AS DOUBLE), 6)
+               AS reduction_ratio
+    FROM agg CROSS JOIN tot
+"""
+
+
 def _q_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B-cubed extrinsic clustering evaluation (Bagga & Baldwin 1998) —
     # the standard ER cluster metric beyond pairwise F1: per-item
@@ -4613,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "nmi_eval": _q_nmi_eval,
             "monge_elkan": _q_monge_elkan,
             "soft_tfidf": _q_soft_tfidf,
+            "snm_window_sweep": _q_snm_window_sweep,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -5130,6 +5240,7 @@ def oracle_sql() -> dict[str, str]:
             "star_clusters": _STAR_ORACLE_SQL,
             "monge_elkan": _monge_elkan_sql("duckdb"),
             "soft_tfidf": _soft_tfidf_sql("duckdb"),
+            "snm_window_sweep": _SNM_SWEEP_ORACLE_SQL,
             "nmi_eval": f"""
                 WITH sims AS (
                     SELECT doc_id,
