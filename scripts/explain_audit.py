@@ -455,6 +455,34 @@ CHECKS = {
          "BatchEvalPython" not in p and "ArrowEval" not in p),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
     ],
+    # soft-TFIDF: weight dim built on distinct names, joined to the
+    # blocked pair stream; best-partner window partitions are
+    # single-name token sets
+    "soft_tfidf": [
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("best-partner window present", lambda p: "Window" in p),
+        ("scan never reads p_retailprice", lambda p:
+         "p_retailprice" not in p),
+    ],
+    # SN window sweep: the pair stream is built once (rank-bucket
+    # equi-join, no single-task window) and replicated only against
+    # the 7-row broadcast grid
+    "snm_window_sweep": [
+        ("no single-task window (every window has a partition spec)",
+         lambda p: not re.search(r"Window \[[^\]]*row_number[^\]]*\],"
+                                 r" \[\]", p)),
+        ("grid join broadcast (no cartesian)", lambda p:
+         "CartesianProduct" not in p),
+        # the pair side sits behind global_rank's checkpoint
+        # (LogicalRDD), so the only visible scans are the totals
+        # branches — they must prune to text (or the bare count scan)
+        ("visible scans prune to text only", lambda p: all(
+            m in ("struct<>", "struct<text:string>")
+            for m in re.findall(r"ReadSchema: (struct<[^\n]*>)", p))),
+    ],
 }
 
 
