@@ -4404,8 +4404,9 @@ def _q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STAR_ORACLE_SQL = f"""
-    WITH e AS ({_STAR_EDGES_SQL}),
+# Star-clustering CTE chain over an edge CTE named ``e(u, v)`` —
+# shared by the star_clusters oracle and the cluster_crosswalk oracle.
+_STAR_CTES = """
     sym AS (SELECT u AS a, v AS b FROM e
             UNION ALL SELECT v, u FROM e),
     deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
@@ -4425,14 +4426,116 @@ _STAR_ORACLE_SQL = f"""
                       ROW_NUMBER() OVER (PARTITION BY a
                                          ORDER BY deg_b DESC, b) AS rk
                FROM cand),
-    attached AS (SELECT a, b FROM ranked WHERE rk = 1)
-    SELECT a AS node, a AS star, 1 AS is_center FROM centers
-    UNION ALL
-    SELECT a, b, 0 FROM attached
-    UNION ALL
-    SELECT d.a, d.a, 0 FROM deg d
-    WHERE d.a NOT IN (SELECT a FROM centers)
-      AND d.a NOT IN (SELECT a FROM attached)
+    attached AS (SELECT a, b FROM ranked WHERE rk = 1),
+    starlab AS (
+        SELECT a AS node, a AS star, 1 AS is_center FROM centers
+        UNION ALL
+        SELECT a, b, 0 FROM attached
+        UNION ALL
+        SELECT d.a, d.a, 0 FROM deg d
+        WHERE d.a NOT IN (SELECT a FROM centers)
+          AND d.a NOT IN (SELECT a FROM attached)
+    )
+"""
+
+_STAR_ORACLE_SQL = f"""
+    WITH e AS ({_STAR_EDGES_SQL}),
+    {_STAR_CTES}
+    SELECT node, star, is_center FROM starlab
+"""
+
+
+def _q_cluster_crosswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cluster crosswalk / re-run diff: when a 10^12-doc clustering is
+    # re-run (new threshold, new strategy, fresh crawl), downstream
+    # consumers need a mapping from old entity ids to new — here
+    # demonstrated between the two in-repo strategies, transitive
+    # closure vs star clustering on the SAME edge graph. For each CC
+    # cluster: its size, the best-overlap star cluster (ties broken by
+    # id), the overlap count, and the membership Jaccard — the table
+    # that says which entities survived intact (jaccard 1.0), which
+    # were split (many CC rows sharing a star label... and vice versa),
+    # and how much id churn a consumer must absorb. Scale shape: one
+    # node-key join of the two assignments + two partial-agg size
+    # shuffles + one best-overlap window per CC cluster; exact BIGINTs
+    # to one final division.
+    from kawa_spark.operators.cc import connected_components
+    from kawa_spark.operators.star import star_components
+
+    _views(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    edges = spark.sql(_STAR_EDGES_SQL)
+    cc = connected_components(edges, src="u", dst="v")
+    st = star_components(edges, src="u", dst="v").select(
+        "node", F.col("component").alias("star")
+    )
+    j = cc.join(st, "node")
+    ov = j.groupBy("component", "star").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    sza = j.groupBy("component").agg(F.count(F.lit(1)).alias("n_cc"))
+    szb = st.groupBy("star").agg(F.count(F.lit(1)).alias("n_star"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("overlap").desc(), F.col("star")
+    )
+    best = (
+        ov.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        best.join(sza, "component")
+        .join(szb, "star")
+        .select(
+            "component",
+            "star",
+            "n_cc",
+            "n_star",
+            "overlap",
+            F.round(
+                F.col("overlap")
+                / (F.col("n_cc") + F.col("n_star") - F.col("overlap")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_CROSSWALK_ORACLE_SQL = f"""
+    WITH RECURSIVE e AS ({_STAR_EDGES_SQL}),
+    {_STAR_CTES},
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    csym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+    reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT s.u AS node, reach.r
+        FROM csym s JOIN reach ON s.v = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    j AS (SELECT c.node, c.component, s.star
+          FROM comp c JOIN starlab s ON c.node = s.node),
+    ov AS (SELECT component, star, COUNT(*) AS overlap
+           FROM j GROUP BY component, star),
+    sza AS (SELECT component, COUNT(*) AS n_cc FROM j GROUP BY component),
+    szb AS (SELECT star, COUNT(*) AS n_star FROM starlab GROUP BY star),
+    best AS (
+        SELECT component, star, overlap,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY overlap DESC, star) AS rk
+        FROM ov
+    )
+    SELECT b.component, b.star, sza.n_cc, szb.n_star, b.overlap,
+           ROUND(b.overlap
+                 / CAST(sza.n_cc + szb.n_star - b.overlap AS DOUBLE), 6)
+               AS jaccard
+    FROM best b
+    JOIN sza ON b.component = sza.component
+    JOIN szb ON b.star = szb.star
+    WHERE b.rk = 1
 """
 
 
@@ -4723,6 +4826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "monge_elkan": _q_monge_elkan,
             "soft_tfidf": _q_soft_tfidf,
             "snm_window_sweep": _q_snm_window_sweep,
+            "cluster_crosswalk": _q_cluster_crosswalk,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -5241,6 +5345,7 @@ def oracle_sql() -> dict[str, str]:
             "monge_elkan": _monge_elkan_sql("duckdb"),
             "soft_tfidf": _soft_tfidf_sql("duckdb"),
             "snm_window_sweep": _SNM_SWEEP_ORACLE_SQL,
+            "cluster_crosswalk": _CROSSWALK_ORACLE_SQL,
             "nmi_eval": f"""
                 WITH sims AS (
                     SELECT doc_id,
