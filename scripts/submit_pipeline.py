@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--fs-scoring", action="store_true",
                     help="EM-calibrated Fellegi-Sunter edge selection "
                          "instead of the fixed weighted-mean threshold")
+    ap.add_argument("--clustering", default="cc", choices=["cc", "star"],
+                    help="cluster strategy: transitive closure (default) "
+                         "or diameter-2 star clustering (over-merge "
+                         "control; incompatible with --must-link)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -104,7 +108,13 @@ def main() -> None:
 
     from kawa_spark.config import PipelineConfig
 
-    cfg = PipelineConfig(fs_scoring=True) if args.fs_scoring else None
+    cfg = (
+        PipelineConfig(
+            fs_scoring=args.fs_scoring, clustering=args.clustering
+        )
+        if (args.fs_scoring or args.clustering != "cc")
+        else None
+    )
     cl = spark.read.parquet(args.cannot_link) if args.cannot_link else None
     ml = spark.read.parquet(args.must_link) if args.must_link else None
     pipe = ERPipeline(
