@@ -4445,6 +4445,150 @@ _STAR_ORACLE_SQL = f"""
 """
 
 
+# Scored edge list for kNN sparsification (the star graph plus its
+# similarity score, u < v unique).
+_KNN_EDGES_SQL = """
+    SELECT a.p_partkey AS u, b.p_partkey AS v,
+           1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                 / greatest(length(a.p_name), length(b.p_name)) AS score
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_size <= 25 AND b.p_size <= 25
+      AND 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+             / greatest(length(a.p_name), length(b.p_name)) >= 0.55
+"""
+
+
+def _q_knn_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mutual-top-k edge sparsification — the standard hub guard run
+    # BEFORE transitive clustering at 10^12 docs: each node keeps its
+    # k=3 best-scored incident edges (ties by neighbor id), and an
+    # edge survives only if BOTH endpoints kept it. Popular records
+    # (hubs) lose their long tail, so CC's giant-component hazard is
+    # structurally bounded without touching the match threshold.
+    # Output: (variant, n_edges, n_nodes, max_degree, n_components,
+    # max_cluster) for the raw vs mutual-kNN graph — the before/after
+    # table that justifies the sparsification. Scale shape: one
+    # symmetrize, one per-node window (partitions = node degree,
+    # bounded by blocking), one pair-key agg for mutuality, then the
+    # usual CC; all counts exact.
+    from kawa_spark.operators.cc import connected_components
+    from pyspark.sql.window import Window
+
+    _views(spark, sf_dir)
+    edges = spark.sql(_KNN_EDGES_SQL)
+    sym = edges.select("u", "v", "score").unionAll(
+        edges.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "score"
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("v"))
+    kept = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+    )
+    mutual = (
+        kept.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nk"))
+        .filter(F.col("nk") == 2)
+        .select("u", "v")
+    )
+
+    def stats(e: DataFrame, variant: str) -> DataFrame:
+        s = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = s.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        comps = connected_components(e, src="u", dst="v")
+        cstat = comps.groupBy("component").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        return (
+            e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            .crossJoin(
+                deg.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                    F.max("d").cast("bigint").alias("max_degree"),
+                )
+            )
+            .crossJoin(
+                cstat.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_components"),
+                    F.max("sz").cast("bigint").alias("max_cluster"),
+                )
+            )
+            .select(
+                F.lit(variant).alias("variant"),
+                "n_edges",
+                "n_nodes",
+                "max_degree",
+                "n_components",
+                "max_cluster",
+            )
+        )
+
+    return stats(edges, "raw").unionByName(stats(mutual, "mutual_knn"))
+
+
+_KNN_ORACLE_TMPL = """
+    sym{t} AS (SELECT u, v, score FROM {src}
+               UNION ALL SELECT v, u, score FROM {src}),
+    nodes{t} AS (SELECT DISTINCT u AS node FROM sym{t}),
+    reach{t} AS (
+        SELECT node, node AS r FROM nodes{t}
+        UNION
+        SELECT s.u AS node, reach{t}.r
+        FROM sym{t} s JOIN reach{t} ON s.v = reach{t}.node
+    ),
+    comp{t} AS (SELECT node, MIN(r) AS component
+                FROM reach{t} GROUP BY node),
+    stat{t} AS (
+        SELECT '{name}' AS variant,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {src}) AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes{t}) AS n_nodes,
+               (SELECT CAST(MAX(d) AS BIGINT) FROM (
+                    SELECT COUNT(*) AS d FROM sym{t} GROUP BY u) g)
+                   AS max_degree,
+               (SELECT CAST(COUNT(DISTINCT component) AS BIGINT)
+                FROM comp{t}) AS n_components,
+               (SELECT CAST(MAX(sz) AS BIGINT) FROM (
+                    SELECT COUNT(*) AS sz FROM comp{t}
+                    GROUP BY component) g) AS max_cluster
+    )
+"""
+
+_KNN_SPARSIFY_ORACLE_SQL = (
+    "WITH RECURSIVE e AS ("
+    + _KNN_EDGES_SQL
+    + """),
+    ksym AS (SELECT u, v, score FROM e
+             UNION ALL SELECT v, u, score FROM e),
+    ranked AS (
+        SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY score DESC, v) AS rk
+        FROM ksym
+    ),
+    mutual AS (
+        SELECT u, v, CAST(0.0 AS DOUBLE) AS score
+        FROM (SELECT least(u, v) AS u, greatest(u, v) AS v
+              FROM ranked WHERE rk <= 3) k
+        GROUP BY u, v HAVING COUNT(*) = 2
+    ),
+"""
+    + _KNN_ORACLE_TMPL.format(t="_r", src="e", name="raw")
+    + ","
+    + _KNN_ORACLE_TMPL.format(t="_m", src="mutual", name="mutual_knn")
+    + """
+    SELECT * FROM stat_r UNION ALL SELECT * FROM stat_m
+"""
+)
+
+
 def _q_cluster_crosswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cluster crosswalk / re-run diff: when a 10^12-doc clustering is
     # re-run (new threshold, new strategy, fresh crawl), downstream
@@ -4827,6 +4971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "soft_tfidf": _q_soft_tfidf,
             "snm_window_sweep": _q_snm_window_sweep,
             "cluster_crosswalk": _q_cluster_crosswalk,
+            "knn_sparsify": _q_knn_sparsify,
         }
     )
     missing = [n for n in _DRIVER_PRIORITY if n not in qs]
@@ -5346,6 +5491,7 @@ def oracle_sql() -> dict[str, str]:
             "soft_tfidf": _soft_tfidf_sql("duckdb"),
             "snm_window_sweep": _SNM_SWEEP_ORACLE_SQL,
             "cluster_crosswalk": _CROSSWALK_ORACLE_SQL,
+            "knn_sparsify": _KNN_SPARSIFY_ORACLE_SQL,
             "nmi_eval": f"""
                 WITH sims AS (
                     SELECT doc_id,
