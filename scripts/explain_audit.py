@@ -483,6 +483,25 @@ CHECKS = {
             m in ("struct<>", "struct<text:string>")
             for m in re.findall(r"ReadSchema: (struct<[^\n]*>)", p))),
     ],
+    # crosswalk: CC components are checkpointed, so the visible plan is
+    # the overlap join + size aggs + best-overlap window
+    "cluster_crosswalk": [
+        ("no cartesian/BNLJ", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("best-overlap window present", lambda p: "Window" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # kNN sparsification: per-node top-k window + pair-key mutuality
+    # agg; stats side is all partial aggs (CC sits behind checkpoints)
+    "knn_sparsify": [
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("per-node top-k window present", lambda p: "Window" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
 }
 
 
