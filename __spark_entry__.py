@@ -2009,6 +2009,71 @@ _NMI_TAIL_SQL = """
 """
 
 
+# Purity tail over the same contingency table (pt: pkey, tkey, n_pt)
+# as nmi_eval — dialect-neutral. All sums exact BIGINTs (max over
+# exact cell counts), three final guarded divisions.
+_PURITY_TAIL_SQL = """
+    tot AS (SELECT CAST(SUM(n_pt) AS BIGINT) AS n FROM pt),
+    mp AS (SELECT pkey, CAST(MAX(n_pt) AS BIGINT) AS best
+           FROM pt GROUP BY pkey),
+    mt AS (SELECT tkey, CAST(MAX(n_pt) AS BIGINT) AS best
+           FROM pt GROUP BY tkey),
+    pur AS (SELECT CAST(SUM(best) AS BIGINT) AS hit_p FROM mp),
+    ipur AS (SELECT CAST(SUM(best) AS BIGINT) AS hit_t FROM mt)
+    SELECT t.n AS n_docs,
+           ROUND(pur.hit_p / CAST(t.n AS DOUBLE), 6) AS purity,
+           ROUND(ipur.hit_t / CAST(t.n AS DOUBLE), 6) AS inverse_purity,
+           ROUND(2e0 * pur.hit_p * ipur.hit_t
+                 / (CAST(t.n AS DOUBLE) * (pur.hit_p + ipur.hit_t)), 6)
+               AS f_purity
+    FROM tot t CROSS JOIN pur CROSS JOIN ipur
+"""
+
+
+def _q_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Purity / inverse purity / their harmonic F (Amigo et al. 2009's
+    # baseline family next to B³): purity charges over-merging only,
+    # inverse purity over-splitting only — reporting the pair makes
+    # the failure direction visible where a single scalar hides it.
+    # Same SimHash-vs-lang contingency build as ari_eval/nmi_eval;
+    # the tail is exact-integer maxima over the bounded cell table, so
+    # unlike NMI there is NO cross-engine float-summation surface at
+    # all — three guarded divisions at the end.
+    _views(spark, sf_dir)
+    h = _hash60_sql("tok")
+    return spark.sql(f"""
+        WITH sims AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0
+                            THEN CAST(shiftleft(CAST(1 AS BIGINT), b)
+                                      AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS pkey
+            FROM (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN shiftright(h, b) % 2 = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM (
+                    SELECT doc_id, {h} AS h
+                    FROM (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       explode(split(lower(text), ' ')) AS tok
+                                FROM documents) e) t
+                ) hh
+                LATERAL VIEW explode(sequence(0, 15)) s AS b
+                GROUP BY doc_id, b
+            ) votes
+            GROUP BY doc_id
+        ),
+        j AS (
+            SELECT s.doc_id, s.pkey, d.lang AS tkey
+            FROM sims s JOIN documents d ON s.doc_id = d.doc_id
+        ),
+        pt AS (SELECT pkey, tkey, COUNT(*) AS n_pt
+               FROM j GROUP BY pkey, tkey),
+        {_PURITY_TAIL_SQL}
+    """)
+
+
 def _q_nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Normalized mutual information between the SimHash bucket
     # clustering and the lang partition — the information-theoretic
@@ -4967,6 +5032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "block_filtering": _q_block_filtering,
             "star_clusters": _q_star_clusters,
             "nmi_eval": _q_nmi_eval,
+            "purity_eval": _q_purity_eval,
             "monge_elkan": _q_monge_elkan,
             "soft_tfidf": _q_soft_tfidf,
             "snm_window_sweep": _q_snm_window_sweep,
@@ -5522,6 +5588,37 @@ def oracle_sql() -> dict[str, str]:
                 pt AS (SELECT pkey, tkey, COUNT(*) AS n_pt
                        FROM j GROUP BY pkey, tkey),
                 {_NMI_TAIL_SQL}
+            """,
+            "purity_eval": f"""
+                WITH sims AS (
+                    SELECT doc_id,
+                           CAST(SUM(CASE WHEN v > 0
+                                    THEN (CAST(1 AS BIGINT) << b)
+                                    ELSE 0 END) AS BIGINT) AS pkey
+                    FROM (
+                        SELECT doc_id, b,
+                               SUM(CASE WHEN (h >> b) & 1 = 1
+                                   THEN 1 ELSE -1 END) AS v
+                        FROM (
+                            SELECT doc_id, {_hash60_duck("tok")} AS h
+                            FROM (SELECT DISTINCT doc_id, tok
+                                  FROM (SELECT doc_id,
+                                               unnest(string_split(lower(text), ' ')) AS tok
+                                        FROM documents) e) t
+                        ) hh
+                        CROSS JOIN (SELECT unnest(generate_series(0, 15))
+                                    AS b) s
+                        GROUP BY doc_id, b
+                    ) votes
+                    GROUP BY doc_id
+                ),
+                j AS (
+                    SELECT s.doc_id, s.pkey, d.lang AS tkey
+                    FROM sims s JOIN documents d ON s.doc_id = d.doc_id
+                ),
+                pt AS (SELECT pkey, tkey, COUNT(*) AS n_pt
+                       FROM j GROUP BY pkey, tkey),
+                {_PURITY_TAIL_SQL}
             """,
             "mutual_best_match": """
                 WITH pairs AS (

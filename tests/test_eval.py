@@ -34,6 +34,40 @@ def test_nmi_independent_clusterings_is_zero(spark):
     assert r["nmi"] == pytest.approx(0.0, abs=1e-9)
 
 
+def _purity_tail(spark, cells):
+    import __spark_entry__ as entry
+
+    spark.createDataFrame(
+        cells, "pkey BIGINT, tkey STRING, n_pt BIGINT"
+    ).createOrReplaceTempView("pt_test")
+    return spark.sql(
+        "WITH pt AS (SELECT * FROM pt_test), " + entry._PURITY_TAIL_SQL
+    ).collect()[0]
+
+
+def test_purity_identical_clusterings_is_one(spark):
+    r = _purity_tail(spark, [(1, "a", 3), (2, "b", 2)])
+    assert r["purity"] == r["inverse_purity"] == r["f_purity"] == 1.0
+
+
+def test_purity_hand_example(spark):
+    # pred {1: 3a+1b, 2: 2b}: purity = (3+2)/6; truth a: best 3,
+    # b: best 2 -> inverse = (3+2)/6; F = harmonic(5/6, 5/6) = 5/6
+    r = _purity_tail(spark, [(1, "a", 3), (1, "b", 1), (2, "b", 2)])
+    assert r["n_docs"] == 6
+    assert r["purity"] == pytest.approx(5 / 6, abs=1e-6)
+    assert r["inverse_purity"] == pytest.approx(5 / 6, abs=1e-6)
+    assert r["f_purity"] == pytest.approx(5 / 6, abs=1e-6)
+
+
+def test_purity_single_cluster_detects_overmerge(spark):
+    # everything merged into one cluster: purity drops to the majority
+    # fraction, inverse purity is perfect — the direction is visible
+    r = _purity_tail(spark, [(1, "a", 3), (1, "b", 1)])
+    assert r["purity"] == pytest.approx(0.75, abs=1e-6)
+    assert r["inverse_purity"] == 1.0
+
+
 def test_nmi_hand_example(spark):
     # pred {1:{3 a}, 2:{1 a, 2 b}}; n=6; marginals: pkeys (3,3),
     # tkeys (a:4, b:2)
