@@ -3703,6 +3703,69 @@ def _fs_oracle_sql() -> str:
     return _FS_ORACLE_TEMPLATE.format(pairs=_FS_PAIRS_SQL, weight=weight)
 
 
+def _fs_missing_sql() -> str:
+    """Three-level Fellegi-Sunter comparison (agree / missing /
+    disagree) — the standard missing-data treatment (Splink-style):
+    when either side of a comparison is NULL the field is
+    uninformative, so its level contributes ZERO log2 weight instead of
+    being forced into agree/disagree (which would bias every record
+    with a sparse attribute). The synthetic tables carry no NULLs, so
+    missing values are injected deterministically (brand missing when
+    p_partkey % 7 = 0, size when % 5 = 0) — both engines evaluate the
+    identical rule. Pattern space is bounded at 3^K rows at ANY scale;
+    one partial-agg shuffle over the blocked pair stream; weights are
+    literal-folded from the committed m/u snapshot (brand/size/type
+    entries of _FS_M/_FS_U). Dialect-neutral: runs verbatim on Spark
+    SQL and DuckDB."""
+    terms = _fs_weight_terms()
+    # _FS_FIELDS order: brand_eq(0), name_close(1), size_eq(2), type_eq(3)
+    picks = {"brand": terms[0], "size": terms[2], "type": terms[3]}
+
+    def wexpr(lv: str, key: str) -> str:
+        wa, wd = picks[key]
+        return (
+            f"(CASE {lv} WHEN 2 THEN CAST({wa!r} AS DOUBLE)"
+            f" WHEN 0 THEN CAST({wd!r} AS DOUBLE)"
+            f" ELSE 0e0 END)"
+        )
+
+    return f"""
+    WITH p AS (
+        SELECT p_partkey, p_type,
+               CASE WHEN p_partkey % 7 = 0 THEN NULL
+                    ELSE p_brand END AS brand,
+               CASE WHEN p_partkey % 5 = 0 THEN NULL
+                    ELSE p_size END AS size_,
+               split_part(p_name, ' ', 2) AS blk
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               a.size_ AS size_a, b.size_ AS size_b,
+               a.p_type AS type_a, b.p_type AS type_b
+        FROM p a JOIN p b
+          ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    ),
+    lv AS (
+        SELECT
+            CASE WHEN brand_a IS NULL OR brand_b IS NULL THEN 1
+                 WHEN brand_a = brand_b THEN 2 ELSE 0 END AS brand_lv,
+            CASE WHEN size_a IS NULL OR size_b IS NULL THEN 1
+                 WHEN size_a = size_b THEN 2 ELSE 0 END AS size_lv,
+            CASE WHEN type_a = type_b THEN 2 ELSE 0 END AS type_lv
+        FROM pairs
+    )
+    SELECT concat(CAST(brand_lv AS STRING), CAST(size_lv AS STRING),
+                  CAST(type_lv AS STRING)) AS pattern,
+           COUNT(*) AS n_pairs,
+           ROUND({wexpr('brand_lv', 'brand')}
+                 + {wexpr('size_lv', 'size')}
+                 + {wexpr('type_lv', 'type')}, 4) AS fs_weight
+    FROM lv
+    GROUP BY brand_lv, size_lv, type_lv
+    """
+
+
 def _fs_em_sql(vec_source: str) -> str:
     """Two Winkler-EM iterations over the bounded agreement-pattern
     table, as ONE dialect-neutral SQL string (runs verbatim on Spark
@@ -5010,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_recall_multi": _q_ann_recall_multi,
             "fs_pattern_weights": _q_fs_pattern_weights,
             "fs_em_weights": _q_fs_em_weights,
+            "fs_missing_weights": _q_sql(_fs_missing_sql()),
             "constrained_cc": _q_constrained_cc,
             "meta_blocking": _q_meta_blocking,
             "gopher_quality": _q_gopher_quality,
@@ -5703,6 +5767,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE cbs * n > total
             """,
             "fs_pattern_weights": _fs_oracle_sql(),
+            "fs_missing_weights": _fs_missing_sql(),
             "fs_em_weights": _fs_em_sql(f"""
                 SELECT CAST(brand_a = brand_b AS INT) AS brand_eq,
                        CAST(CASE WHEN abs(length(name_a) - length(name_b)) > 2
