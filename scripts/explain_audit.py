@@ -483,6 +483,26 @@ CHECKS = {
             m in ("struct<>", "struct<text:string>")
             for m in re.findall(r"ReadSchema: (struct<[^\n]*>)", p))),
     ],
+    # purity: exact-int maxima over the bounded contingency — same
+    # shuffle shapes as ari/nmi
+    "purity_eval": [
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    # 3-level FS: one blocked equi-join + one bounded pattern agg;
+    # weights are literals (no join, no Python)
+    "fs_missing_weights": [
+        ("block join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("map-side partial agg on the pattern key", lambda p:
+         "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("scan never reads p_retailprice", lambda p:
+         "p_retailprice" not in p),
+    ],
     # crosswalk: CC components are checkpointed, so the visible plan is
     # the overlap join + size aggs + best-overlap window
     "cluster_crosswalk": [
