@@ -159,6 +159,58 @@ class TestSparkSide:
             )
 
 
+class TestFsMissing:
+    def _run(self, spark, parts):
+        import __spark_entry__ as entry
+
+        spark.createDataFrame(
+            parts,
+            "p_partkey BIGINT, p_name STRING, p_brand STRING,"
+            " p_size INT, p_type STRING",
+        ).createOrReplaceTempView("part")
+        rows = spark.sql(entry._fs_missing_sql()).collect()
+        return {r["pattern"]: r for r in rows}
+
+    def test_missing_level_contributes_zero(self, spark):
+        import math
+
+        import __spark_entry__ as entry
+
+        # partkey 7 -> brand missing (injected); sizes 10=10 agree;
+        # types differ -> pattern '120'
+        got = self._run(
+            spark,
+            [
+                (7, "a b", "B1", 10, "t1"),
+                (8, "a b", "B1", 10, "t2"),
+            ],
+        )
+        assert set(got) == {"120"}
+        terms = entry._fs_weight_terms()
+        expect = terms[2][0] + terms[3][1]  # size agree + type disagree
+        assert got["120"]["fs_weight"] == pytest.approx(
+            round(expect, 4), abs=1e-9
+        )
+        assert not math.isnan(got["120"]["fs_weight"])
+
+    def test_full_agreement_pattern(self, spark):
+        import __spark_entry__ as entry
+
+        got = self._run(
+            spark,
+            [
+                (1, "a b", "B1", 10, "t1"),
+                (2, "a b", "B1", 10, "t1"),
+            ],
+        )
+        assert set(got) == {"222"}
+        terms = entry._fs_weight_terms()
+        expect = terms[0][0] + terms[2][0] + terms[3][0]
+        assert got["222"]["fs_weight"] == pytest.approx(
+            round(expect, 4), abs=1e-9
+        )
+
+
 class TestConstrainedCC:
     def _edges(self, spark, rows):
         return spark.createDataFrame(rows, "u string, v string")
