@@ -3766,6 +3766,93 @@ def _fs_missing_sql() -> str:
     """
 
 
+def _value_specific_sql() -> str:
+    """Value-specific agreement weights (Winkler's frequency-based
+    refinement of Fellegi-Sunter): agreeing on a RARE value is much
+    stronger match evidence than agreeing on a common one, so the
+    per-value u-probability u_v = n_v(n_v-1)/(N(N-1)) replaces the
+    field-level u. With match mass proportional to prevalence
+    (m_v = m * n_v/N, the standard simplification) the agree weight
+    collapses to w_v = log2(m * (N-1)/(n_v-1)) — rare values get big
+    positive weights, ubiquitous values drop toward the field floor.
+    Singleton values (n_v = 1) clamp the denominator at 0.5 (u_v would
+    be 0 — agreement on a unique value is near-conclusive, kept finite
+    like the EM's 1e-6 clamps). Two fields reported: observed brand
+    and name-first-token; m from the committed snapshot (_FS_M).
+    Scale shape: one partial-agg count per field + a scalar total
+    cross join — the weight TABLE is bounded by the value vocabulary
+    and is what you broadcast to score 10^12 pairs. Dialect-neutral.
+    """
+    m_brand = _FS_M[0]
+
+    def field(expr: str, name: str) -> str:
+        return f"""
+        SELECT '{name}' AS field, val, n_v,
+               ROUND(CAST(n_v AS DOUBLE) * (n_v - 1)
+                     / (CAST(t.n AS DOUBLE) * (t.n - 1)), 9) AS u_v,
+               ROUND(log2(CAST({m_brand!r} AS DOUBLE)
+                          * (CAST(t.n AS DOUBLE) - 1)
+                          / greatest(CAST(n_v - 1 AS DOUBLE), 5e-1)), 4)
+                   AS w_agree
+        FROM (SELECT {expr} AS val, COUNT(*) AS n_v
+              FROM part GROUP BY {expr}) v
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part) t"""
+
+    return (
+        field("p_brand", "brand")
+        + "\n    UNION ALL\n"
+        + field("split_part(p_name, ' ', 1)", "name_tok1")
+    )
+
+
+def _temporal_decay_sql(dialect: str) -> str:
+    """Time-decayed linkage evidence (the temporal-record-linkage idea
+    of Li/Dong/Srivastava, VLDB 2011: agreement observed across a
+    small time gap is stronger continuity evidence than across years):
+    per entity stream (user_id), each consecutive event pair
+    contributes exp(-dt/3600) decayed mass plus a same-type indicator.
+    Output per event_type: pair count, total decayed mass, same-type
+    rate — the decay-weighted continuity table a temporal linker
+    thresholds instead of raw co-occurrence counts. One window pass
+    per stream (no self-join, partitions = per-user streams); only
+    the epoch-extraction function differs per engine; the exp/sum
+    floats are ROUND-absorbed.
+    """
+    # micros-exact epoch on both engines (ts is TIMESTAMP_NTZ; a
+    # session-timezone offset would cancel in the t - pt differences
+    # anyway, and int64-micros / 1e6 is the identical IEEE op in both)
+    epoch = (
+        "unix_micros(CAST(ts AS TIMESTAMP)) / 1e6"
+        if dialect == "spark"
+        else "epoch_us(ts) / 1e6"
+    )
+    return f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, {epoch} AS t FROM events
+    ),
+    lagd AS (
+        SELECT user_id, event_type, t,
+               LAG(t) OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS pt,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id) AS ptype
+        FROM e
+    )
+    SELECT event_type,
+           COUNT(*) AS n_pairs,
+           ROUND(SUM(exp(-(t - pt) / 3600e0)), 4) AS decayed_mass,
+           ROUND(SUM(CASE WHEN event_type = ptype THEN 1e0 ELSE 0e0 END)
+                 / COUNT(*), 6) AS same_type_rate
+    FROM lagd WHERE pt IS NOT NULL
+    GROUP BY event_type
+    """
+
+
+def _q_temporal_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_temporal_decay_sql("spark"))
+
+
 def _fs_em_sql(vec_source: str) -> str:
     """Two Winkler-EM iterations over the bounded agreement-pattern
     table, as ONE dialect-neutral SQL string (runs verbatim on Spark
@@ -5074,6 +5161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fs_pattern_weights": _q_fs_pattern_weights,
             "fs_em_weights": _q_fs_em_weights,
             "fs_missing_weights": _q_sql(_fs_missing_sql()),
+            "value_specific_weights": _q_sql(_value_specific_sql()),
+            "temporal_decay_pairs": _q_temporal_decay,
             "constrained_cc": _q_constrained_cc,
             "meta_blocking": _q_meta_blocking,
             "gopher_quality": _q_gopher_quality,
@@ -5768,6 +5857,8 @@ def oracle_sql() -> dict[str, str]:
             """,
             "fs_pattern_weights": _fs_oracle_sql(),
             "fs_missing_weights": _fs_missing_sql(),
+            "value_specific_weights": _value_specific_sql(),
+            "temporal_decay_pairs": _temporal_decay_sql("duckdb"),
             "fs_em_weights": _fs_em_sql(f"""
                 SELECT CAST(brand_a = brand_b AS INT) AS brand_eq,
                        CAST(CASE WHEN abs(length(name_a) - length(name_b)) > 2
