@@ -503,6 +503,26 @@ CHECKS = {
         ("scan never reads p_retailprice", lambda p:
          "p_retailprice" not in p),
     ],
+    # value-specific weights: two per-field partial aggs + scalar
+    # totals; the weight table itself is vocabulary-bounded
+    "value_specific_weights": [
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("only scalar-total BNLJ (no cartesian)", lambda p:
+         "CartesianProduct" not in p),
+        ("scan never reads p_retailprice", lambda p:
+         "p_retailprice" not in p),
+    ],
+    # temporal decay: ONE window pass per stream, no join at all
+    "temporal_decay_pairs": [
+        ("no join at all", lambda p: "Join" not in p),
+        ("single stream window", lambda p: "Window" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+        ("scan prunes off value/props", lambda p:
+         "props" not in p),
+    ],
     # crosswalk: CC components are checkpointed, so the visible plan is
     # the overlap join + size aggs + best-overlap window
     "cluster_crosswalk": [
