@@ -339,7 +339,7 @@ _COMMON_SQL: dict[str, str] = {
                          THEN 'valid'
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY 1
     """,
@@ -3562,7 +3562,7 @@ _CLUSTER_CANONICAL_ORACLE = """
     SELECT ckey,
            MAX(CASE WHEN rk = 1 THEN w END) AS canonical,
            COUNT(*) AS n_forms,
-           SUM(n) AS n_occ
+           CAST(SUM(n) AS BIGINT) AS n_occ
     FROM keyed
     GROUP BY ckey
 """
@@ -5030,59 +5030,56 @@ _DYNAMIC_BLOCKING_ORACLE = """
 # (driver-green in BOTH r02 and r03, plus local check_oracle evidence)
 # are rotated out past position 50.
 _DRIVER_PRIORITY = [
-    # 13 oracle-backed queries with no driver row through r03
-    "sessionize", "asof_error", "range_join_counts", "pii_redact",
-    "json_props_stats", "length_quantiles", "top_bigrams", "rollup_revenue",
-    "calendar_fill", "histogram_lengths", "salted_agg", "repetition_ratio",
-    "hapax_ratio",
-    # new round-4 queries
-    "sense_merge", "asof_null_carry",
-    "idf_weights", "tfidf_topk", "mention_cooccur", "bigram_lift",
-    "overlap_containment", "cluster_sizes", "weighted_jaccard",
-    "blocking_recall", "blocking_recall_tokens", "ann_recall",
-    "ann_recall_multi",
-    # rows-only ER flagships (never driver-recorded); er_incremental and
-    # er_retract are round-4 new (delta linkage / retraction, each with a
-    # full-recompute-equality pytest oracle)
+    # Round-5 window (VERDICT r04 ask #3): the 23 round-4 session-9
+    # analytics queries that have never had a driver row in any round —
+    # all green in the judge's full sf0.01 sweep and in local
+    # check_oracle; this rotation makes the driver artifact the record.
+    "block_filtering", "cluster_crosswalk", "cluster_density",
+    "cross_source_dup_rate", "dynamic_block_pairs", "er_fusion",
+    "fs_em_weights", "fs_missing_weights", "group_linkage",
+    "knn_sparsify", "lsh_band_planner", "monge_elkan",
+    "multipass_blocking", "mutual_best_match", "nmi_eval",
+    "progressive_pairs", "purity_eval", "snm_window_sweep", "soft_tfidf",
+    "star_clusters", "temporal_decay_pairs", "threshold_sweep",
+    "value_specific_weights",
+    # the two r04 hash_match failures, oracle typing fixed this round
+    # (CAST(SUM(int) AS BIGINT) — DuckDB HUGEINT/decimal128 vs Spark
+    # int64 broke the driver hash while values matched); must re-gate
+    "hash_split", "cluster_canonical",
+    # rows-only ER flagships (pytest-gated; driver records rows-only).
+    # er_fusion above is rotated in per the r04 verdict's explicit list.
     "er_mentions", "er_clusters", "er_incremental", "er_retract",
-    # round-4 new oracle-backed queries
-    "text_dedup_stats", "cluster_canonical",
-    # round-4 session-8 operator queries (dynamic blocking, WEP
-    # meta-blocking, survivorship fusion — no driver row yet); the
-    # three lang-data queries (gender_swap_map, pronoun_gender_map,
-    # name_lists) rotated out for these — each is driver-green in r03
-    # and check_oracle-green at sf0.01+sf0.1 this session
+    # single-green r04 queries kept in-window (newest / most complex of
+    # their families): multi-sense merge, ANN recall pair
+    "sense_merge", "ann_recall", "ann_recall_multi",
+    # round-4 operator queries first driver-green in r04, kept for a
+    # second green round
+    "text_dedup_stats",
     "dynamic_blocking", "meta_blocking_wep", "cluster_fusion",
-    # round-4 session-4 additions (curation ops, no driver row yet)
-    "chunk_dedup", "hash_split", "stratified_sample",
-    # round-4 session-5 additions (substring-dedup coverage + SURT URL
-    # canonicalization, no driver row yet)
+    "chunk_dedup", "stratified_sample",
     "dup_span_coverage", "surt_host_stats",
-    # round-4 session-6 additions (Fellegi-Sunter pattern weights +
-    # cannot-link constrained clustering + CBS meta-blocking, no driver
-    # row yet)
     "fs_pattern_weights", "constrained_cc", "meta_blocking",
-    # round-4 session-7 additions (Gopher-style quality gate,
-    # temperature-weighted domain subsampling, blocking-quality metric
-    # pair — no driver row yet)
     "gopher_quality", "temperature_resample", "blocking_quality",
     "sorted_neighborhood", "bcubed_eval",
-    # round-4 session-8 additions (ARI cluster agreement + block-size
-    # skew histogram, no driver row yet); cc_components and ann_ivf
-    # rotated out for these (each driver-green in BOTH r02 and r03)
     "ari_eval", "block_size_histogram",
-    # exact_dedup_fingerprint, minhash_signature, ngram_jaccard rotated
-    # out by session 7 (driver-green in BOTH r02 and r03 + local
-    # check_oracle evidence); block_pairs_lev, ngram_lsh_dedup rotated
-    # likewise for sorted_neighborhood + bcubed_eval
-    # rotated out for the round-4 queries (each driver-green in BOTH
-    # r02 and r03 + local check_oracle evidence): synonym_pivot,
-    # hypernym_closure, ann_lsh (rotated by session 6), stopword_filter,
+    # Rotated out for the 23 session-9 queries (each all-three-green in
+    # CORRECTNESS_r04 + local check_oracle evidence at sf0.01/sf0.1):
+    # sessionize, asof_error, range_join_counts, pii_redact,
+    # json_props_stats, length_quantiles, top_bigrams, rollup_revenue,
+    # calendar_fill, histogram_lengths, salted_agg, repetition_ratio,
+    # hapax_ratio, asof_null_carry, idf_weights, tfidf_topk,
+    # mention_cooccur, bigram_lift, overlap_containment, cluster_sizes,
+    # weighted_jaccard, blocking_recall, blocking_recall_tokens.
+    # Earlier rotations (driver-green in ≥2 of r02-r04): synonym_pivot,
+    # hypernym_closure, ann_lsh, ann_ivf, cc_components, stopword_filter,
     # token_counts, digit_fold_vocab, prefix_bounds, script_detect,
     # regex_ner_counts, eval_f1_shape, window_lag_gaps, binary_meta,
     # bpe_token_counts, quality_score, simhash_dedup, wikiann_merge,
     # cluster_hygiene, embedding_near_dup, cosine_topk, soundex_blocks,
-    # embed_weighted_merge, doc_fingerprint, lang_id_heuristic
+    # embed_weighted_merge, doc_fingerprint, lang_id_heuristic,
+    # exact_dedup_fingerprint, minhash_signature, ngram_jaccard,
+    # block_pairs_lev, ngram_lsh_dedup, gender_swap_map,
+    # pronoun_gender_map, name_lists
 ]
 
 

@@ -50,39 +50,59 @@ def test_every_query_has_oracle_or_is_sanctioned_rows_only():
     assert oracles <= qs
 
 
-def test_window_carries_the_r03_gap_queries():
-    """The 13 oracle-backed queries without a driver row through r03 and
-    the two new round-4 queries must sit inside the gate window."""
+def test_window_carries_the_r05_rotation():
+    """VERDICT r04 ask #3: the 23 session-9 queries that never had a
+    driver row in rounds 1-4 must sit inside the gate window, along with
+    the two r04 hash_match failures whose oracle typing was fixed this
+    round (they need an all-three-green CORRECTNESS_r05 row)."""
     must_gate = {
-        "sessionize", "asof_error", "range_join_counts", "pii_redact",
-        "json_props_stats", "length_quantiles", "top_bigrams",
-        "rollup_revenue", "calendar_fill", "histogram_lengths",
-        "salted_agg", "repetition_ratio", "hapax_ratio",
-        "sense_merge", "asof_null_carry",
-        # round-4 session-2 additions (no driver row yet)
-        "idf_weights", "tfidf_topk", "mention_cooccur", "bigram_lift",
-        "overlap_containment", "cluster_sizes", "weighted_jaccard",
-        "blocking_recall", "blocking_recall_tokens", "ann_recall",
-        "ann_recall_multi",
-        # round-4 session-3 additions (no driver row yet)
-        "text_dedup_stats", "cluster_canonical",
-        # round-4 session-4 additions (no driver row yet)
-        "chunk_dedup", "hash_split", "stratified_sample",
-        # round-4 session-5 additions (no driver row yet)
-        "dup_span_coverage", "surt_host_stats",
-        # round-4 session-6 additions (no driver row yet)
-        "fs_pattern_weights", "constrained_cc", "meta_blocking",
-        # round-4 session-7 additions (no driver row yet)
-        "gopher_quality", "temperature_resample", "blocking_quality",
-        "sorted_neighborhood", "bcubed_eval",
+        # the 23 never-driver-checked session-9 analytics queries
+        "block_filtering", "cluster_crosswalk", "cluster_density",
+        "cross_source_dup_rate", "dynamic_block_pairs", "er_fusion",
+        "fs_em_weights", "fs_missing_weights", "group_linkage",
+        "knn_sparsify", "lsh_band_planner", "monge_elkan",
+        "multipass_blocking", "mutual_best_match", "nmi_eval",
+        "progressive_pairs", "purity_eval", "snm_window_sweep",
+        "soft_tfidf", "star_clusters", "temporal_decay_pairs",
+        "threshold_sweep", "value_specific_weights",
+        # r04 hash-fail pair, CAST fix must re-gate in r05
+        "hash_split", "cluster_canonical",
     } | ROWS_ONLY
-    # er_fusion is deliberately OUTSIDE the 50-slot window: a rows-only
-    # driver row is weaker evidence than the all-three-green oracle row
-    # the slot otherwise holds, and er_fusion's substance is already
-    # double-covered (fusion layer oracle-backed in-window via
-    # cluster_fusion; pipeline composition pinned by tests/test_fusion.py)
-    must_gate -= {"er_fusion"}
     assert must_gate <= set(entry._DRIVER_PRIORITY)
+
+
+def test_oracle_integer_aggregates_are_cast():
+    """Lint (VERDICT r04 ask #2): every oracle's DuckDB output must not
+    surface HUGEINT/decimal128 columns. DuckDB types SUM(INTEGER) as
+    HUGEINT -> Arrow decimal128(38,0) while Spark returns int64; the
+    values are equal but the driver's hash canonicalization sees two
+    representations and fails hash_match (r04: hash_split,
+    cluster_canonical). Running every oracle at sf0.001 and checking the
+    Arrow schema is the semantic version of the 'CAST(SUM(..) AS
+    BIGINT)' convention lint — it catches any future construct with the
+    same Arrow-representation mismatch, not just SUM."""
+    import duckdb
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in entry.oracle_sql().items():
+        schema = con.execute(sql).arrow().schema
+        for field in schema:
+            if pa.types.is_decimal(field.type):
+                bad.append(f"{name}.{field.name}: {field.type}")
+    assert not bad, (
+        "oracle columns surface as Arrow decimal (DuckDB HUGEINT/DECIMAL"
+        " vs Spark int64/double breaks the driver hash) — wrap the"
+        " aggregate in CAST(... AS BIGINT) or CAST(... AS DOUBLE): "
+        + ", ".join(bad)
+    )
 
 
 def test_pivot_memo_survives_clear_cache(spark):
