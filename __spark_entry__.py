@@ -3783,14 +3783,12 @@ def _value_specific_sql() -> str:
     cross join — the weight TABLE is bounded by the value vocabulary
     and is what you broadcast to score 10^12 pairs. Dialect-neutral.
     """
-    m_brand = _FS_M[0]
-
-    def field(expr: str, name: str) -> str:
+    def field(expr: str, name: str, m: float) -> str:
         return f"""
         SELECT '{name}' AS field, val, n_v,
                ROUND(CAST(n_v AS DOUBLE) * (n_v - 1)
                      / (CAST(t.n AS DOUBLE) * (t.n - 1)), 9) AS u_v,
-               ROUND(log2(CAST({m_brand!r} AS DOUBLE)
+               ROUND(log2(CAST({m!r} AS DOUBLE)
                           * (CAST(t.n AS DOUBLE) - 1)
                           / greatest(CAST(n_v - 1 AS DOUBLE), 5e-1)), 4)
                    AS w_agree
@@ -3798,10 +3796,14 @@ def _value_specific_sql() -> str:
               FROM part GROUP BY {expr}) v
         CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part) t"""
 
+    # per-field m from the committed snapshot: brand = _FS_M[0]
+    # (brand_eq), name_tok1 = _FS_M[1] (name_close — the name-field
+    # entry; a shared brand m would compute name weights with the wrong
+    # field's match probability)
     return (
-        field("p_brand", "brand")
+        field("p_brand", "brand", _FS_M[0])
         + "\n    UNION ALL\n"
-        + field("split_part(p_name, ' ', 1)", "name_tok1")
+        + field("split_part(p_name, ' ', 1)", "name_tok1", _FS_M[1])
     )
 
 
@@ -3818,9 +3820,13 @@ def _temporal_decay_sql(dialect: str) -> str:
     the epoch-extraction function differs per engine; the exp/sum
     floats are ROUND-absorbed.
     """
-    # micros-exact epoch on both engines (ts is TIMESTAMP_NTZ; a
-    # session-timezone offset would cancel in the t - pt differences
-    # anyway, and int64-micros / 1e6 is the identical IEEE op in both)
+    # micros-exact epoch on both engines (ts is TIMESTAMP_NTZ, and the
+    # harness pins spark.sql.session.timeZone=UTC, so CAST AS TIMESTAMP
+    # applies a zero offset; under a DST-observing session zone the
+    # offset would NOT cancel in the t - pt differences for gaps that
+    # straddle a transition — keep the session zone fixed-offset if
+    # reusing this query elsewhere. int64-micros / 1e6 is the identical
+    # IEEE op in both engines.)
     epoch = (
         "unix_micros(CAST(ts AS TIMESTAMP)) / 1e6"
         if dialect == "spark"

@@ -64,6 +64,21 @@ class PipelineConfig:
     fs_jw_cut: float = 0.9
     fs_lev_cut: float = 0.75
     fs_cos_cut: float = 0.9
+    # FS refinement (requires fs_scoring): treat an unevaluable cosine
+    # comparison (no embedding for either surface) as a third MISSING
+    # level contributing zero weight, instead of forcing it into the
+    # disagree branch — the standard missing-data treatment; removes
+    # the systematic penalty on pairs outside the embedding vocabulary.
+    # EM runs on the three-level (<=3^K-row) pattern table
+    # (operators/linkage.py:fellegi_sunter_em_levels).
+    fs_missing_aware: bool = False
+    # FS refinement (requires fs_scoring): add a first-token exact
+    # agreement field whose AGREE weight is value-specific (Winkler's
+    # frequency-based refinement): agreeing on a rare token is stronger
+    # evidence than on a ubiquitous one, w_v = log2(m*(N-1)/(n_v-1))
+    # with token frequencies from the surface table, broadcast onto the
+    # pair stream. Disagree weight stays the EM field-level estimate.
+    fs_value_specific: bool = False
     # clustering
     cc_max_iter: int = 20
     # clustering strategy: "cc" (default, reference-parity transitive

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
+def ckpt(df: DataFrame, reliable: bool) -> DataFrame:
     """Lineage-truncating materialization for the iterative loop.
 
     localCheckpoint blocks die with their executor — at cluster scale
@@ -96,7 +96,7 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = _ckpt(e, reliable_checkpoints)
+    e = ckpt(e, reliable_checkpoints)
     # Convergence probe (count + order-free xxhash fold) only every OTHER
     # iteration: each probe is a blocking driver round-trip, and with
     # typical convergence in <=10 star rounds the serial-sync count is
@@ -106,7 +106,7 @@ def connected_components(
     prev_sig = None
     for it in range(max_iter):
         e = _small_star(_large_star(e))
-        e = _ckpt(e, reliable_checkpoints)  # truncate the iterative lineage
+        e = ckpt(e, reliable_checkpoints)  # truncate the iterative lineage
         if it % 2 == 0 and it + 1 < max_iter:
             continue
         sig = e.agg(

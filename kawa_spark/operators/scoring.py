@@ -332,6 +332,7 @@ def fs_match_edges(
     scored: DataFrame,
     cfg: PipelineConfig | None = None,
     register_persist=None,
+    surfaces: DataFrame | None = None,
 ) -> DataFrame:
     """Fellegi-Sunter alternative to :func:`match_edges` (cfg.fs_scoring).
 
@@ -352,38 +353,139 @@ def fs_match_edges(
     edges re-read the same frame — persisting between the two keeps the
     most expensive lineage (pair generation + similarity UDFs) from
     running twice at the 10^12-pair design point.
+
+    Refinements (both opt-in via cfg, composable):
+
+    * ``cfg.fs_missing_aware`` — an unevaluable cosine (no embedding
+      for either surface) becomes a third MISSING level contributing
+      zero weight instead of a forced disagree; EM runs on the bounded
+      three-level pattern table (linkage.fellegi_sunter_em_levels).
+    * ``cfg.fs_value_specific`` — adds a first-token exact-agreement
+      field whose agree weight is Winkler's frequency-based per-value
+      weight w_v = log2(m*(N-1)/(n_v-1)): token frequencies come from
+      ``surfaces`` (required with this flag), a vocabulary-bounded
+      table broadcast onto the pair stream; N is its scalar count (one
+      bounded collect alongside the sanctioned pattern collect).
     """
     from pyspark import StorageLevel
 
     from .linkage import (
+        agreement_levels,
         agreement_vectors,
         fellegi_sunter_em,
+        fellegi_sunter_em_levels,
         fs_weight_expr,
+        fs_weight_expr_levels,
         pattern_counts,
+        value_specific_agree_weight,
     )
 
     cfg = cfg or PipelineConfig()
-    fields = {
-        "jw_hi": F.col("jw") >= cfg.fs_jw_cut,
-        "lev_hi": F.col("lev_sim") >= cfg.fs_lev_cut,
-        "cos_hi": F.col("cos").isNotNull()
-        & ~F.isnan("cos")
-        & (F.col("cos") >= cfg.fs_cos_cut),
+    refined = cfg.fs_missing_aware or cfg.fs_value_specific
+    if cfg.fs_value_specific and surfaces is None:
+        raise ValueError(
+            "cfg.fs_value_specific needs the surfaces frame for token "
+            "frequencies — pass fs_match_edges(..., surfaces=...)"
+        )
+
+    if not refined:
+        fields = {
+            "jw_hi": F.col("jw") >= cfg.fs_jw_cut,
+            "lev_hi": F.col("lev_sim") >= cfg.fs_lev_cut,
+            "cos_hi": F.col("cos").isNotNull()
+            & ~F.isnan("cos")
+            & (F.col("cos") >= cfg.fs_cos_cut),
+        }
+        vec = agreement_vectors(scored, fields)
+        vec = vec.persist(StorageLevel.MEMORY_AND_DISK)
+        if register_persist is not None:
+            register_persist(vec)
+        rows = pattern_counts(vec).collect()
+        names = sorted(fields)
+        if not rows:
+            return vec.filter(F.lit(False)).select(
+                "id_a", "id_b", F.lit(0.0).alias("score"), "block_key"
+            )
+        w = fellegi_sunter_em(
+            [(r["pattern"], r["n_pairs"]) for r in rows], names
+        )
+        return (
+            vec.withColumn(
+                "score", fs_weight_expr(list(w.fields), list(w.m), list(w.u))
+            )
+            .filter(F.col("score") >= cfg.fs_threshold)
+            .select("id_a", "id_b", "score", "block_key")
+        )
+
+    # refined path: three-level encoding (binary fields never emit 1)
+    lv2 = F.lit(2)
+    lv0 = F.lit(0)
+    levels = {
+        "jw_hi": F.when(F.col("jw") >= cfg.fs_jw_cut, lv2).otherwise(lv0),
+        "lev_hi": F.when(
+            F.col("lev_sim") >= cfg.fs_lev_cut, lv2
+        ).otherwise(lv0),
     }
-    vec = agreement_vectors(scored, fields)
+    cos_missing = F.col("cos").isNull() | F.isnan("cos")
+    if cfg.fs_missing_aware:
+        levels["cos_hi"] = (
+            F.when(cos_missing, F.lit(1))
+            .when(F.col("cos") >= cfg.fs_cos_cut, lv2)
+            .otherwise(lv0)
+        )
+    else:
+        levels["cos_hi"] = F.when(
+            ~cos_missing & (F.col("cos") >= cfg.fs_cos_cut), lv2
+        ).otherwise(lv0)
+    tok_a = F.split_part(F.col("norm_a"), F.lit(cfg.connector), F.lit(1))
+    tok_b = F.split_part(F.col("norm_b"), F.lit(cfg.connector), F.lit(1))
+    if cfg.fs_value_specific:
+        levels["tok1_eq"] = F.when(tok_a == tok_b, lv2).otherwise(lv0)
+
+    vec = agreement_levels(scored, levels)
+    if cfg.fs_value_specific:
+        # frequency dim from the surface table: vocabulary-bounded,
+        # broadcast onto the pair stream keyed by the agreed token
+        # (tok_a == tok_b on every row where the weight is applied)
+        freq = (
+            surfaces.select(
+                F.split_part(
+                    F.col("norm"), F.lit(cfg.connector), F.lit(1)
+                ).alias("tok1_val")
+            )
+            .groupBy("tok1_val")
+            .agg(F.count("*").alias("tok1_n"))
+        )
+        n_total = surfaces.count()  # scalar, bounded collect
+        vec = vec.withColumn("tok1_val", tok_a).join(
+            F.broadcast(freq), "tok1_val", "left"
+        )
     vec = vec.persist(StorageLevel.MEMORY_AND_DISK)
     if register_persist is not None:
         register_persist(vec)
     rows = pattern_counts(vec).collect()
-    names = sorted(fields)
+    names = sorted(levels)
     if not rows:
         return vec.filter(F.lit(False)).select(
             "id_a", "id_b", F.lit(0.0).alias("score"), "block_key"
         )
-    w = fellegi_sunter_em([(r["pattern"], r["n_pairs"]) for r in rows], names)
+    w = fellegi_sunter_em_levels(
+        [(r["pattern"], r["n_pairs"]) for r in rows], names
+    )
+    overrides = None
+    if cfg.fs_value_specific:
+        m_tok1 = w.m[w.fields.index("tok1_eq")]
+        overrides = {
+            "tok1_eq": value_specific_agree_weight(
+                F.col("tok1_n"), n_total, m_tok1
+            )
+        }
     return (
         vec.withColumn(
-            "score", fs_weight_expr(list(w.fields), list(w.m), list(w.u))
+            "score",
+            fs_weight_expr_levels(
+                list(w.fields), list(w.m), list(w.u), overrides
+            ),
         )
         .filter(F.col("score") >= cfg.fs_threshold)
         .select("id_a", "id_b", "score", "block_key")

@@ -111,6 +111,12 @@ class ERPipeline:
                 f"unknown clustering strategy {_cfg.clustering!r}"
                 " (expected 'cc' or 'star')"
             )
+        if (_cfg.fs_missing_aware or _cfg.fs_value_specific) and not _cfg.fs_scoring:
+            # the refinements parameterize the FS edge selection; with
+            # fs_scoring off they would be silent no-ops — fail loud
+            raise ValueError(
+                "fs_missing_aware/fs_value_specific require fs_scoring=True"
+            )
         if _cfg.clustering == "star" and must_link is not None:
             # star clustering is structural (centers by degree, not
             # score); a +inf must-link edge cannot force co-membership
@@ -258,7 +264,7 @@ class ERPipeline:
             # resume manifests distinguish deduped runs
             docs = dedup_canonical(docs)
         if self.out_dir:
-            # reliable checkpoints for the CC loop (see operators/cc._ckpt):
+            # reliable checkpoints for the CC loop (see operators/cc.ckpt):
             # localCheckpoint blocks die with an executor; with a durable
             # out_dir the iteration state must survive node loss too
             self.spark.sparkContext.setCheckpointDir(
@@ -318,6 +324,7 @@ class ERPipeline:
                 return fs_match_edges(
                     score_pairs(pairs, self.embeddings, cfg), cfg,
                     register_persist=self._persisted.append,
+                    surfaces=surfaces.select("norm"),
                 )
         else:
             def _mk_edges() -> DataFrame:
@@ -355,7 +362,7 @@ class ERPipeline:
                 # like the CC path (direct edges dropped before
                 # clustering, residual violations split by the same
                 # greedy repair).
-                from .operators.cc import _ckpt
+                from .operators.cc import ckpt
                 from .operators.star import star_components
 
                 star_edges = edges.select(
@@ -380,15 +387,15 @@ class ERPipeline:
                 # table five more — without a checkpoint each reference
                 # re-inlines the full extraction plan and the combined
                 # tree grows multiplicatively (observed: plan-tree OOM
-                # at 80 docs). Same _ckpt the CC rounds use.
-                star_edges = _ckpt(star_edges, reliable)
+                # at 80 docs). Same ckpt the CC rounds use.
+                star_edges = ckpt(star_edges, reliable)
                 comps = star_components(star_edges).select(
                     "node", "component"
                 )
                 if self.cannot_link is None:
                     return comps
                 return repair_components(
-                    star_edges, _ckpt(comps, reliable),
+                    star_edges, ckpt(comps, reliable),
                     _norm_pairs_to_ids(self.cannot_link),
                     src="id_a", dst="id_b", score="score",
                 )
