@@ -1671,6 +1671,46 @@ def _hash60_duck(tok_expr: str) -> str:
     return f"({terms})"
 
 
+def _simhash_sims_sql(out_col: str = "pkey") -> str:
+    """Single-pass 16-bit SimHash per doc (Spark side).
+
+    All 16 bit-vote counters are computed as separate partial-
+    aggregating SUMs in ONE groupBy(doc_id) instead of LATERAL-VIEW-
+    exploding every token x16 before the first aggregate: vote_b > 0
+    iff 2*cnt_b > n_toks (cnt_b = tokens with bit b set), exact integer
+    arithmetic, so the signatures are bit-identical to the exploded
+    form — same rows, one exchange fewer and 16x less pre-shuffle
+    volume (the DuckDB oracles keep the dialect-neutral exploded form;
+    values agree by construction).
+    """
+    h = _hash60_sql("tok")
+    cnts = ",\n                   ".join(
+        f"SUM(shiftright(h, {b}) % 2) AS c{b}" for b in range(16)
+    )
+    pack = "\n                 + ".join(
+        f"(CASE WHEN 2 * c{b} > n"
+        f" THEN CAST(shiftleft(CAST(1 AS BIGINT), {b}) AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(16)
+    )
+    return f"""
+            SELECT doc_id,
+                   CAST({pack} AS BIGINT) AS {out_col}
+            FROM (
+                SELECT doc_id, COUNT(*) AS n,
+                   {cnts}
+                FROM (
+                    SELECT doc_id, {h} AS h
+                    FROM (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       explode(split(lower(text), ' ')) AS tok
+                                FROM documents) e) t
+                ) hh
+                GROUP BY doc_id
+            ) votes
+    """
+
+
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16-bit SimHash per doc over distinct tokens: each token's 60-bit
     # md5-derived hash votes +-1 per bit position; signature packs the
@@ -1678,26 +1718,7 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path uses the native 64-bit xxhash64 variant in
     # kawa_spark.operators.blocking.simhash).
     _views(spark, sf_dir)
-    h = _hash60_sql("tok")
-    return spark.sql(f"""
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN v > 0
-                        THEN CAST(shiftleft(CAST(1 AS BIGINT), b) AS BIGINT)
-                        ELSE 0 END) AS BIGINT) AS simhash16
-        FROM (
-            SELECT doc_id, b,
-                   SUM(CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) AS v
-            FROM (
-                SELECT doc_id, {h} AS h
-                FROM (SELECT DISTINCT doc_id, tok
-                      FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok
-                            FROM documents) e) t
-            ) hh
-            LATERAL VIEW explode(sequence(0, 15)) s AS b
-            GROUP BY doc_id, b
-        ) votes
-        GROUP BY doc_id
-    """)
+    return spark.sql(_simhash_sims_sql("simhash16"))
 
 
 def _q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1861,29 +1882,9 @@ def _q_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ops are one division per group and the final ratios (identical
     # IEEE in both engines). All aggs are partial-map-side; no windows.
     _views(spark, sf_dir)
-    h = _hash60_sql("tok")
     return spark.sql(f"""
         WITH sims AS (
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN v > 0
-                            THEN CAST(shiftleft(CAST(1 AS BIGINT), b)
-                                      AS BIGINT)
-                            ELSE 0 END) AS BIGINT) AS pkey
-            FROM (
-                SELECT doc_id, b,
-                       SUM(CASE WHEN shiftright(h, b) % 2 = 1
-                           THEN 1 ELSE -1 END) AS v
-                FROM (
-                    SELECT doc_id, {h} AS h
-                    FROM (SELECT DISTINCT doc_id, tok
-                          FROM (SELECT doc_id,
-                                       explode(split(lower(text), ' ')) AS tok
-                                FROM documents) e) t
-                ) hh
-                LATERAL VIEW explode(sequence(0, 15)) s AS b
-                GROUP BY doc_id, b
-            ) votes
-            GROUP BY doc_id
+{_simhash_sims_sql("pkey")}
         ),
         j AS (
             SELECT s.doc_id, s.pkey, md5(d.text) AS tkey
@@ -1925,29 +1926,9 @@ def _q_ari_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one float expression at the end is identical IEEE in both
     # engines. Same partial-agg shapes as bcubed_eval; no windows.
     _views(spark, sf_dir)
-    h = _hash60_sql("tok")
     return spark.sql(f"""
         WITH sims AS (
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN v > 0
-                            THEN CAST(shiftleft(CAST(1 AS BIGINT), b)
-                                      AS BIGINT)
-                            ELSE 0 END) AS BIGINT) AS pkey
-            FROM (
-                SELECT doc_id, b,
-                       SUM(CASE WHEN shiftright(h, b) % 2 = 1
-                           THEN 1 ELSE -1 END) AS v
-                FROM (
-                    SELECT doc_id, {h} AS h
-                    FROM (SELECT DISTINCT doc_id, tok
-                          FROM (SELECT doc_id,
-                                       explode(split(lower(text), ' ')) AS tok
-                                FROM documents) e) t
-                ) hh
-                LATERAL VIEW explode(sequence(0, 15)) s AS b
-                GROUP BY doc_id, b
-            ) votes
-            GROUP BY doc_id
+{_simhash_sims_sql("pkey")}
         ),
         j AS (
             SELECT s.doc_id, s.pkey, d.lang AS tkey
@@ -2040,29 +2021,9 @@ def _q_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unlike NMI there is NO cross-engine float-summation surface at
     # all — three guarded divisions at the end.
     _views(spark, sf_dir)
-    h = _hash60_sql("tok")
     return spark.sql(f"""
         WITH sims AS (
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN v > 0
-                            THEN CAST(shiftleft(CAST(1 AS BIGINT), b)
-                                      AS BIGINT)
-                            ELSE 0 END) AS BIGINT) AS pkey
-            FROM (
-                SELECT doc_id, b,
-                       SUM(CASE WHEN shiftright(h, b) % 2 = 1
-                           THEN 1 ELSE -1 END) AS v
-                FROM (
-                    SELECT doc_id, {h} AS h
-                    FROM (SELECT DISTINCT doc_id, tok
-                          FROM (SELECT doc_id,
-                                       explode(split(lower(text), ' ')) AS tok
-                                FROM documents) e) t
-                ) hh
-                LATERAL VIEW explode(sequence(0, 15)) s AS b
-                GROUP BY doc_id, b
-            ) votes
-            GROUP BY doc_id
+{_simhash_sims_sql("pkey")}
         ),
         j AS (
             SELECT s.doc_id, s.pkey, d.lang AS tkey
@@ -2086,29 +2047,9 @@ def _q_nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (<= buckets x langs rows), so at 10^12 docs the cost is the two
     # aggregations, not the metric.
     _views(spark, sf_dir)
-    h = _hash60_sql("tok")
     return spark.sql(f"""
         WITH sims AS (
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN v > 0
-                            THEN CAST(shiftleft(CAST(1 AS BIGINT), b)
-                                      AS BIGINT)
-                            ELSE 0 END) AS BIGINT) AS pkey
-            FROM (
-                SELECT doc_id, b,
-                       SUM(CASE WHEN shiftright(h, b) % 2 = 1
-                           THEN 1 ELSE -1 END) AS v
-                FROM (
-                    SELECT doc_id, {h} AS h
-                    FROM (SELECT DISTINCT doc_id, tok
-                          FROM (SELECT doc_id,
-                                       explode(split(lower(text), ' ')) AS tok
-                                FROM documents) e) t
-                ) hh
-                LATERAL VIEW explode(sequence(0, 15)) s AS b
-                GROUP BY doc_id, b
-            ) votes
-            GROUP BY doc_id
+{_simhash_sims_sql("pkey")}
         ),
         j AS (
             SELECT s.doc_id, s.pkey, d.lang AS tkey
@@ -4080,29 +4021,9 @@ def _q_cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100-TB shape: two partial-agg exchanges over the bucket keys,
     # never a pair materialization.
     _views(spark, sf_dir)
-    h = _hash60_sql("tok")
     return spark.sql(f"""
         WITH sims AS (
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN v > 0
-                            THEN CAST(shiftleft(CAST(1 AS BIGINT), b)
-                                      AS BIGINT)
-                            ELSE 0 END) AS BIGINT) AS pkey
-            FROM (
-                SELECT doc_id, b,
-                       SUM(CASE WHEN shiftright(h, b) % 2 = 1
-                           THEN 1 ELSE -1 END) AS v
-                FROM (
-                    SELECT doc_id, {h} AS h
-                    FROM (SELECT DISTINCT doc_id, tok
-                          FROM (SELECT doc_id,
-                                       explode(split(lower(text), ' ')) AS tok
-                                FROM documents) e) t
-                ) hh
-                LATERAL VIEW explode(sequence(0, 15)) s AS b
-                GROUP BY doc_id, b
-            ) votes
-            GROUP BY doc_id
+{_simhash_sims_sql("pkey")}
         ),
         j AS (
             SELECT s.pkey, d.source

@@ -241,6 +241,9 @@ CHECKS = {
     # B-cubed: pure aggregate pipeline — partial aggs before every
     # exchange, equi joins only, no Python
     "bcubed_eval": [
+        ("no x16 bit fan-out before the first aggregate", lambda p:
+         "sequence(0, 15)" not in p),
+
         ("map-side partial aggs", lambda p: "partial_" in p),
         ("no cartesian beyond the 1-row scalar crosses", lambda p:
          "CartesianProduct" not in p),
@@ -250,6 +253,9 @@ CHECKS = {
     # ARI: same aggregate-pipeline shape as bcubed_eval — the only
     # joins are the doc_id equi-join and the 1-row scalar crosses
     "ari_eval": [
+        ("no x16 bit fan-out before the first aggregate", lambda p:
+         "sequence(0, 15)" not in p),
+
         ("map-side partial aggs", lambda p: "partial_" in p),
         ("no cartesian beyond the 1-row scalar crosses", lambda p:
          "CartesianProduct" not in p),
@@ -450,6 +456,9 @@ CHECKS = {
     # NMI: same contingency shapes as ari_eval — two partial-agg
     # shuffles at data scale, entropy tail over the bounded cell table
     "nmi_eval": [
+        ("no x16 bit fan-out before the first aggregate", lambda p:
+         "sequence(0, 15)" not in p),
+
         ("map-side partial aggs", lambda p: "partial_" in p),
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
@@ -486,6 +495,9 @@ CHECKS = {
     # purity: exact-int maxima over the bounded contingency — same
     # shuffle shapes as ari/nmi
     "purity_eval": [
+        ("no x16 bit fan-out before the first aggregate", lambda p:
+         "sequence(0, 15)" not in p),
+
         ("map-side partial aggs", lambda p: "partial_" in p),
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
