@@ -545,12 +545,16 @@ CHECKS = {
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
     ],
-    # kNN sparsification: per-node top-k window + pair-key mutuality
-    # agg; stats side is all partial aggs (CC sits behind checkpoints)
+    # kNN sparsification: stats side is all partial aggs (the per-node
+    # top-k window + mutuality agg run during the eager edge/mutual
+    # checkpoints, so they sit behind LogicalRDDs in the final plan —
+    # their shape is pinned where it executes, in the shared window/agg
+    # builders, and by the oracle row)
     "knn_sparsify": [
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
         ("map-side partial aggs", lambda p: "partial_" in p),
-        ("per-node top-k window present", lambda p: "Window" in p),
+        ("mutual side checkpointed (no recompute per branch)", lambda p:
+         "ExistingRDD" in p or "LogicalRDD" in p or "Scan ExistingRDD" in p),
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
     ],
