@@ -23,6 +23,15 @@ class PipelineConfig:
     # NOTE: applies to run() clustering only — extracted_text() stays
     # per-url (the byte-identity contract is keyed by raw url).
     canonical_urls: bool = False
+    # extraction strategy: "broadcast" (default — word2ner broadcast,
+    # per-executor cascade build; fastest below the max_rows guards) or
+    # "join" — the map-side lexicon fallback for cascades too big to
+    # hold per Python worker (~8.5M surface forms): membership resolves
+    # via a distributed equi-join on (lang, level, prefix, bucket,
+    # pattern) against the flattened cascade and the greedy detector
+    # replays per document with probe results injected; byte-equal
+    # output (operators/extract_join.py, tests/test_extract_join.py).
+    extract_strategy: str = "broadcast"
     # matcher
     connector: str = "_"
     compound_word_step: int = 3

@@ -149,6 +149,7 @@ def extract_mentions_dedup(
     cfg: PipelineConfig | None = None,
     emit_text: bool = True,
     lexicon_path: str | None = None,
+    _inner=None,
 ) -> DataFrame:
     """``extract_mentions`` that runs the Python matcher ONCE per
     distinct (lang, normalized text) and fans results back out to every
@@ -187,7 +188,10 @@ def extract_mentions_dedup(
             F.col("s.lang").alias("lang"),
         )
     )
-    rep_out = extract_mentions(
+    # ``_inner``: the per-representative extractor (default the
+    # broadcast path; the pipeline passes extract_mentions_join for
+    # cfg.extract_strategy="join")
+    rep_out = (_inner or extract_mentions)(
         reps, word2ner, cfg, emit_text=emit_text, lexicon_path=lexicon_path
     ).drop("mention_id")
     rep_cols = [c for c in rep_out.columns if c != "url"]

@@ -111,6 +111,11 @@ class ERPipeline:
                 f"unknown clustering strategy {_cfg.clustering!r}"
                 " (expected 'cc' or 'star')"
             )
+        if _cfg.extract_strategy not in ("broadcast", "join"):
+            raise ValueError(
+                f"unknown extract_strategy {_cfg.extract_strategy!r}"
+                " (expected 'broadcast' or 'join')"
+            )
         if (_cfg.fs_missing_aware or _cfg.fs_value_specific) and not _cfg.fs_scoring:
             # the refinements parameterize the FS edge selection; with
             # fs_scoring off they would be silent no-ops — fail loud
@@ -276,7 +281,21 @@ class ERPipeline:
         # cfg.dedup_texts routes through the distinct-text matcher path
         # (one matcher call per distinct (lang, text), fan back out to
         # urls) — identical rows, crawl-duplication short-circuited
-        _extract = extract_mentions_dedup if cfg.dedup_texts else extract_mentions
+        if cfg.extract_strategy == "join":
+            # map-side lexicon fallback: per-lang cascades built once on
+            # the driver, membership via distributed equi-join, greedy
+            # replay per doc (operators/extract_join.py). Composes with
+            # dedup_texts through the same inner-extractor switch.
+            from .operators.extract_join import extract_mentions_join
+
+            _inner = extract_mentions_join
+        else:
+            _inner = extract_mentions
+        _extract = (
+            (lambda *a, **kw: extract_mentions_dedup(*a, _inner=_inner, **kw))
+            if cfg.dedup_texts
+            else _inner
+        )
         mentions = self._stage(
             "mentions",
             resume,
