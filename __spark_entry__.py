@@ -3765,6 +3765,77 @@ def _value_specific_sql() -> str:
     )
 
 
+def _uncertainty_sql() -> str:
+    """Active-learning pair selection (uncertainty sampling — the
+    standard human-in-the-loop step of every production ER deployment,
+    e.g. Sarawagi & Bhamidipaty KDD 2002): the pairs worth a human
+    label are the ones closest to the decision boundary, i.e. smallest
+    |FS weight| around the fs_threshold=0 cut. Emits the top-20 most
+    uncertain pairs of the blocked FS comparison space with their
+    agreement pattern and weight. Ordering is deterministic
+    cross-engine: the weight is ROUNDed before |.| and ordering, and
+    (name_a, name_b) is a unique total tie-break. 100-TB shape: the
+    blocked pair stream -> codegen weight arithmetic -> TakeOrdered
+    (top-k never materializes the stream); dialect-neutral — one SQL
+    string runs verbatim on Spark and DuckDB (the name-dim levenshtein
+    optimization of _fs_agreement_vec applies here too if the pair
+    stream grows; a 20-row diagnostic does not need it)."""
+    terms = _fs_weight_terms()
+    weight = " + ".join(
+        f"(CASE WHEN {f} = 1 THEN CAST({wa!r} AS DOUBLE)"
+        f" ELSE CAST({wd!r} AS DOUBLE) END)"
+        for f, (wa, wd) in zip(_FS_FIELDS, terms)
+    )
+    return f"""
+    WITH pairs AS ({_FS_PAIRS_SQL}),
+    vec AS (
+        SELECT name_a, name_b,
+               CAST(brand_a = brand_b AS INT) AS brand_eq,
+               CAST(CASE WHEN abs(length(name_a) - length(name_b)) > 2
+                         THEN FALSE
+                         ELSE levenshtein(name_a, name_b) <= 2
+                    END AS INT) AS name_close,
+               CAST(size_a = size_b AS INT) AS size_eq,
+               CAST(type_a = type_b AS INT) AS type_eq
+        FROM pairs
+    )
+    SELECT name_a, name_b,
+           concat(brand_eq, name_close, size_eq, type_eq) AS pattern,
+           ROUND({weight}, 4) AS fs_weight,
+           ROUND(abs({weight}), 4) AS uncertainty
+    FROM vec
+    ORDER BY ROUND(abs({weight}), 4), name_a, name_b
+    LIMIT 20
+    """
+
+
+_CAPTURE_RECAPTURE_SQL = """
+    WITH k AS (
+        SELECT md5(text) AS fp,
+               substr(lower(text), 1, 12) AS ka,
+               substr(lower(text),
+                      greatest(length(text) - 11, 1), 12) AS kb
+        FROM documents
+    ),
+    na AS (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS pass_a_pairs
+           FROM (SELECT ka, COUNT(*) AS n FROM k GROUP BY ka) g),
+    nb AS (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS pass_b_pairs
+           FROM (SELECT kb, COUNT(*) AS n FROM k GROUP BY kb) g),
+    mm AS (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS recaptured_pairs
+           FROM (SELECT ka, kb, COUNT(*) AS n FROM k GROUP BY ka, kb) g),
+    tru AS (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS true_pairs
+            FROM (SELECT fp, COUNT(*) AS n FROM k GROUP BY fp) g)
+    SELECT pass_a_pairs, pass_b_pairs, recaptured_pairs,
+           CASE WHEN recaptured_pairs > 0
+                THEN CAST(ROUND(CAST(pass_a_pairs AS DOUBLE)
+                                * pass_b_pairs / recaptured_pairs, 0)
+                          AS BIGINT)
+           END AS estimated_pairs,
+           true_pairs
+    FROM na CROSS JOIN nb CROSS JOIN mm CROSS JOIN tru
+"""
+
+
 def _temporal_decay_sql(dialect: str) -> str:
     """Time-decayed linkage evidence (the temporal-record-linkage idea
     of Li/Dong/Srivastava, VLDB 2011: agreement observed across a
@@ -3964,6 +4035,49 @@ _META_KEYED_SQL = """
     FROM part
     UNION
     SELECT DISTINCT p_name, concat('b:', p_brand) FROM part
+"""
+
+
+def _q_cnp_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CNP meta-blocking (cardinality node pruning, Papadakis et al.
+    # TKDE 2014 §4) — the node-centric member of the pruning family
+    # next to the global-mean WEP: each node keeps its k=3 highest-CBS
+    # neighbors (ties by id), pairs retained by EITHER endpoint survive
+    # (published union semantics). Caps every entity's comparison
+    # budget individually — the per-node knob WEP's global cut lacks.
+    # 100-TB shape: the skew-bounded per-key pair stream + one
+    # count-distinct shuffle (shared with meta_blocking) + one per-node
+    # top-k window (partitions = neighbor lists, bounded by blocking)
+    # + a half-pair dedup agg. See operators/blocking.py:
+    # meta_block_pairs_cnp.
+    from kawa_spark.operators.blocking import meta_block_pairs_cnp
+
+    _views(spark, sf_dir)
+    keyed = spark.sql(_META_KEYED_SQL)
+    return meta_block_pairs_cnp(keyed, k=3)
+
+
+_CNP_ORACLE_SQL = f"""
+    WITH keyed AS ({_META_KEYED_SQL}),
+    pairs AS (
+        SELECT a.mention_id AS id_a, b.mention_id AS id_b,
+               CAST(COUNT(DISTINCT a.block_key) AS BIGINT) AS cbs
+        FROM keyed a JOIN keyed b
+          ON a.block_key = b.block_key AND a.mention_id < b.mention_id
+        GROUP BY 1, 2
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v, cbs FROM pairs
+            UNION ALL SELECT id_b, id_a, cbs FROM pairs),
+    ranked AS (
+        SELECT u, v, cbs,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY cbs DESC, v) AS rk
+        FROM sym
+    ),
+    kept AS (SELECT least(u, v) AS id_a, greatest(u, v) AS id_b, cbs
+             FROM ranked WHERE rk <= 3)
+    SELECT id_a, id_b, CAST(MAX(cbs) AS BIGINT) AS cbs
+    FROM kept GROUP BY id_a, id_b
 """
 
 
@@ -5111,9 +5225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fs_em_weights": _q_fs_em_weights,
             "fs_missing_weights": _q_sql(_fs_missing_sql()),
             "value_specific_weights": _q_sql(_value_specific_sql()),
+            "uncertainty_sample": _q_sql(_uncertainty_sql()),
+            "capture_recapture": _q_sql(_CAPTURE_RECAPTURE_SQL),
             "temporal_decay_pairs": _q_temporal_decay,
             "constrained_cc": _q_constrained_cc,
             "meta_blocking": _q_meta_blocking,
+            "cnp_meta_blocking": _q_cnp_meta_blocking,
             "gopher_quality": _q_gopher_quality,
             "temperature_resample": _q_temperature_resample,
             "blocking_quality": _q_blocking_quality,
@@ -5807,6 +5924,9 @@ def oracle_sql() -> dict[str, str]:
             "fs_pattern_weights": _fs_oracle_sql(),
             "fs_missing_weights": _fs_missing_sql(),
             "value_specific_weights": _value_specific_sql(),
+            "uncertainty_sample": _uncertainty_sql(),
+            "capture_recapture": _CAPTURE_RECAPTURE_SQL,
+            "cnp_meta_blocking": _CNP_ORACLE_SQL,
             "temporal_decay_pairs": _temporal_decay_sql("duckdb"),
             "fs_em_weights": _fs_em_sql(f"""
                 SELECT CAST(brand_a = brand_b AS INT) AS brand_eq,

@@ -662,3 +662,57 @@ def meta_block_pairs_wep(
         .filter(F.col("cbs") * F.col("_n") > F.col("_total"))
         .select("id_a", "id_b", "cbs")
     )
+
+
+def meta_block_pairs_cnp(
+    keyed: DataFrame,
+    k: int = 3,
+    key_col: str = "block_key",
+    id_col: str = "mention_id",
+    threshold: int = 2000,
+    groups: int = 8,
+) -> DataFrame:
+    """Meta-blocking with CNP (cardinality node pruning, Papadakis et
+    al. TKDE 2014 §4): the node-centric counterpart to
+    :func:`meta_block_pairs_wep` — each node retains its ``k``
+    highest-CBS neighbors (ties by neighbor id for determinism) and a
+    pair survives if EITHER endpoint retained it (the published
+    redundancy-positive union semantics). Where WEP's one global mean
+    cut can starve sparse regions and under-prune dense ones, CNP
+    bounds every node's comparison budget individually — the knob that
+    directly caps per-entity work at 10^12 docs.
+
+    Shape: the same skew-bounded per-key pair stream + count-distinct
+    shuffle as CBS, then ONE per-node top-k window whose partitions are
+    node neighbor lists (bounded by blocking, never corpus-sized), and
+    a half-pair dedup aggregate. Output: (id_a, id_b, cbs) with
+    id_a < id_b.
+    """
+    from pyspark.sql.window import Window
+
+    per_key = bounded_self_pairs(
+        keyed, key_col=key_col, id_col=id_col,
+        threshold=threshold, groups=groups,
+    )
+    weighted = per_key.groupBy("id_a", "id_b").agg(
+        F.count_distinct(F.col(key_col)).alias("cbs")
+    )
+    sym = weighted.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v"), "cbs"
+    ).unionAll(
+        weighted.select(
+            F.col("id_b").alias("u"), F.col("id_a").alias("v"), "cbs"
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("cbs").desc(), F.col("v"))
+    kept = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.least("u", "v").alias("id_a"),
+            F.greatest("u", "v").alias("id_b"),
+            "cbs",
+        )
+    )
+    # union semantics: retained by either endpoint -> one output row
+    return kept.groupBy("id_a", "id_b").agg(F.max("cbs").alias("cbs"))

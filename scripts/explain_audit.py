@@ -199,6 +199,39 @@ CHECKS = {
             r"ReadSchema: struct<p_name:string(,p_brand:string)?>", p)
          is not None),
     ],
+    # CNP meta-blocking: same CBS stream, then a per-node top-k window
+    # (partitions = neighbor lists) and a half-pair dedup agg
+    "cnp_meta_blocking": [
+        ("hot/cold split present (LeftAnti)", lambda p: "LeftAnti" in p),
+        ("no cartesian/BNLJ", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
+        ("per-node top-k window present", lambda p: "Window" in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # uncertainty sampling: blocked pair stream -> literal-folded
+    # weight arithmetic -> TakeOrdered top-k (never a full sort/
+    # materialization of the stream)
+    "uncertainty_sample": [
+        ("top-k via TakeOrdered", lambda p: "TakeOrdered" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # capture-recapture: four partial-agg count pipelines over one
+    # pruned scan + 1-row scalar crosses; pairs are never materialized
+    "capture_recapture": [
+        ("scan prunes to text only", lambda p: all(
+            m in ("struct<>", "struct<text:string>")
+            for m in re.findall(r"ReadSchema: (struct<[^\n]*>)", p))),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no equi-join (pair counts, not pair rows)", lambda p:
+         "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+         and "BroadcastHashJoin" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
     # Gopher quality gate: all signals are JVM-side codegen expressions
     # over one pruned scan with a map-side partial agg — no Python, no
     # join, no window

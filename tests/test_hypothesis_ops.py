@@ -138,3 +138,52 @@ def test_fusion_matches_naive(spark, rows):
             modal = latest = longest = None
         want[cid] = (modal, latest, longest, min(o for _, o in members))
     assert got == want
+
+
+def _naive_cnp(rows, k):
+    """Pure-python CNP model: CBS weights, per-node top-k by (cbs desc,
+    neighbor asc), union semantics."""
+    from collections import defaultdict
+
+    keys = defaultdict(set)
+    for i, toks in rows:
+        for t in toks:
+            keys[i].add(t)
+    ids = sorted(keys)
+    cbs = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = len(keys[a] & keys[b])
+            if shared:
+                cbs[(a, b)] = shared
+    nbrs = defaultdict(list)
+    for (a, b), w in cbs.items():
+        nbrs[a].append((-w, b, (a, b)))
+        nbrs[b].append((-w, a, (a, b)))
+    kept = set()
+    for u, lst in nbrs.items():
+        for _, _, pair in sorted(lst)[:k]:
+            kept.add(pair)
+    return {(a, b, cbs[(a, b)]) for a, b in kept}
+
+
+@given(rows=st.lists(_toks, min_size=1, max_size=25), k=st.integers(1, 4))
+@_SETTINGS
+def test_cnp_matches_naive(spark, rows, k):
+    from kawa_spark.operators.blocking import meta_block_pairs_cnp
+
+    data = [
+        (i, t) for i, toks in enumerate(rows) for t in set(toks)
+    ]
+    if not data:
+        return
+    keyed = spark.createDataFrame(
+        data, "mention_id long, block_key string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["cbs"])
+        for r in meta_block_pairs_cnp(keyed, k=k).collect()
+    }
+    want = _naive_cnp(list(enumerate(rows)), k)
+    assert got == want
