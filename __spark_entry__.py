@@ -302,7 +302,7 @@ _COMMON_SQL: dict[str, str] = {
     # J7/F16 — blocking + pairwise Levenshtein over distinct surfaces
     "block_pairs_lev": """
         SELECT a.p_name AS name_a, b.p_name AS name_b,
-               levenshtein(a.p_name, b.p_name) AS lev
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
         FROM (SELECT DISTINCT p_name FROM part) a
         JOIN (SELECT DISTINCT p_name FROM part) b
           ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
@@ -331,7 +331,7 @@ _COMMON_SQL: dict[str, str] = {
     # global single-partition window), then collapsed to per-tile stats so
     # the output stays bounded at any SF.
     "ntile_price_quartiles": """
-        SELECT o_orderpriority, tile,
+        SELECT o_orderpriority, CAST(tile AS BIGINT) AS tile,
                COUNT(*) AS n,
                ROUND(MIN(o_totalprice), 2) AS lo,
                ROUND(MAX(o_totalprice), 2) AS hi
@@ -365,7 +365,7 @@ _COMMON_SQL: dict[str, str] = {
     # agree on; doc_id tie-break). Per-stratum window = one shuffle on
     # lang; output bounded at k*|langs| regardless of SF.
     "stratified_sample": """
-        SELECT lang, doc_id, rk
+        SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
         FROM (
             SELECT lang, doc_id,
                    ROW_NUMBER() OVER (PARTITION BY lang
@@ -525,8 +525,8 @@ def _q_prefix_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT substring(tok, 1, 3) AS prefix,
                COUNT(DISTINCT tok) AS n_forms,
-               MAX(length(tok)) AS max_len,
-               MIN(length(tok)) AS min_len
+               CAST(MAX(length(tok)) AS BIGINT) AS max_len,
+               CAST(MIN(length(tok)) AS BIGINT) AS min_len
         FROM (SELECT explode(split(text, ' ')) AS tok FROM documents) t
         GROUP BY prefix
     """)
@@ -1454,7 +1454,7 @@ def _q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM dup
         )
         SELECT doc_id,
-               MAX(n) AS n_tokens,
+               CAST(MAX(n) AS BIGINT) AS n_tokens,
                CAST(SUM(CASE WHEN prev IS NULL THEN 4
                              ELSE LEAST(4, s - prev) END) AS BIGINT)
                    AS dup_tokens,
@@ -1656,7 +1656,8 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dot
                 FROM q CROSS JOIN c
              )
-        SELECT query_id, neighbor_id, rank, ROUND(dot, 4) AS sim
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+               ROUND(dot, 4) AS sim
         FROM (
             SELECT query_id, neighbor_id, dot,
                    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2095,7 +2096,7 @@ def _q_block_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
             GROUP BY 1
         )
-        SELECT length(bin(sz)) AS sz_bin,
+        SELECT CAST(length(bin(sz)) AS BIGINT) AS sz_bin,
                COUNT(*) AS n_blocks,
                CAST(SUM(sz) AS BIGINT) AS n_rows,
                CAST(MAX(sz) AS BIGINT) AS max_block
@@ -2161,7 +2162,8 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dot
                 FROM q JOIN c ON q.bucket = c.bucket
              )
-        SELECT query_id, neighbor_id, bucket, rank, ROUND(dot, 4) AS sim
+        SELECT query_id, neighbor_id, bucket, CAST(rank AS BIGINT) AS rank,
+               ROUND(dot, 4) AS sim
         FROM (
             SELECT query_id, neighbor_id, bucket, dot,
                    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2411,7 +2413,8 @@ _ANN_IVF_ORACLE = """
         FROM probes p JOIN assign a ON p.head_id = a.head_id
         WHERE p.query_id <> a.vec_id
     )
-    SELECT query_id, neighbor_id, rank, ROUND(dot, 4) AS sim FROM (
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(dot, 4) AS sim FROM (
         SELECT query_id, neighbor_id, dot,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY dot DESC, neighbor_id) AS rank
@@ -2526,7 +2529,7 @@ def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return spark.sql("""
         SELECT doc_id,
-               octet_length(encode(text, 'utf-8')) AS n_bytes,
+               CAST(octet_length(encode(text, 'utf-8')) AS BIGINT) AS n_bytes,
                md5(encode(text, 'utf-8')) AS content_md5,
                CASE WHEN text LIKE '<%' THEN 'markup' ELSE 'plain' END AS sniff
         FROM documents
@@ -2983,7 +2986,7 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
             WHERE tf.doc_id < 50
         )
-        SELECT doc_id, tok, tf, df, tfidf, rnk
+        SELECT doc_id, tok, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                        PARTITION BY doc_id
@@ -3077,8 +3080,8 @@ def _q_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               size(array_intersect(a.toks, b.toks)) AS n_common,
-               least(size(a.toks), size(b.toks)) AS n_min,
+               CAST(size(array_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+               CAST(least(size(a.toks), size(b.toks)) AS BIGINT) AS n_min,
                ROUND(CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE)
                      / least(size(a.toks), size(b.toks)), 4) AS containment
         FROM toksets a JOIN toksets b ON b.doc_id = a.doc_id + 1

@@ -166,6 +166,8 @@ def ivf_search(
     return ranked.filter(F.col("rank") <= topk).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        "rank",
+        # bigint: aligns with the DuckDB oracle's ROW_NUMBER type so the
+        # driver's representation-sensitive hash sees one shape
+        F.col("rank").cast("bigint").alias("rank"),
         F.round("dot", 4).alias("sim"),
     )

@@ -105,6 +105,50 @@ def test_oracle_integer_aggregates_are_cast():
     )
 
 
+def test_window_output_dtypes_match_oracle(spark):
+    """Representation lint, stronger form: for every oracle-backed query
+    in the driver window, the Spark output schema and the DuckDB oracle
+    Arrow schema must agree column-by-column — not just be decimal-free.
+    r04's hash failures were representation mismatches on equal values;
+    int32-vs-int64 demonstrably hashes equal (r04 green rows), but
+    aligning the whole window removes the class entirely."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    spark_to_arrow = {
+        "bigint": "int64", "int": "int32", "double": "double",
+        "string": "string", "boolean": "bool", "float": "float",
+        "timestamp_ntz": "timestamp[us]", "date": "date32[day]",
+    }
+    bad = []
+    for name in entry._DRIVER_PRIORITY:
+        if name not in oracles:
+            continue
+        stypes = {
+            f.name: f.dataType.simpleString()
+            for f in qs[name](spark, sf).schema.fields
+        }
+        otypes = {
+            f.name: str(f.type)
+            for f in con.execute(oracles[name]).arrow().schema
+        }
+        if sorted(stypes) != sorted(otypes):
+            bad.append(f"{name}: columns {sorted(stypes)} vs {sorted(otypes)}")
+            continue
+        for c, st in stypes.items():
+            if spark_to_arrow.get(st, st) != otypes[c]:
+                bad.append(f"{name}.{c}: spark {st} vs oracle {otypes[c]}")
+    assert not bad, "; ".join(bad)
+
+
 def test_pivot_memo_survives_clear_cache(spark):
     """Regression: the memoized pivot triple must stay materialized
     across spark.catalog.clearCache() (the bench protocol runs it
