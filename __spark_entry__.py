@@ -3839,6 +3839,72 @@ _CAPTURE_RECAPTURE_SQL = """
 """
 
 
+def _decontamination_sql(dialect: str) -> str:
+    """Train/test decontamination report — the benchmark-leakage check
+    every LLM training pipeline runs before a data release (the n-gram
+    overlap methodology of the GPT-3/PaLM/Llama reports): using the
+    SAME deterministic md5 split as `hash_split`, compute for every
+    test document the fraction of its word 4-grams that appear
+    anywhere in the train split, and report the contamination-decile
+    histogram (decile, docs, total/contaminated gram counts) — the
+    table that decides which test docs must be dropped or the split
+    re-drawn. 100-TB shape: one n-gram fan-out (inherent), one
+    distinct partial-agg shuffle for the train gram set, one equi-join
+    of test grams against it (AQE picks broadcast when the train set
+    is small; at corpus scale both sides shuffle on the gram hash),
+    two bounded aggregates. Exact integers everywhere; the one float
+    (decile binning) is the identical IEEE expression in both engines.
+    Only the n-gram generation syntax differs per dialect."""
+    if dialect == "spark":
+        grams = """
+        SELECT doc_id, split, concat_ws(' ', slice(toks, i, 4)) AS gram
+        FROM s
+        LATERAL VIEW explode(sequence(1, size(toks) - 3)) x AS i
+        WHERE size(toks) >= 4"""
+    else:
+        grams = """
+        SELECT doc_id, split,
+               array_to_string(array_slice(toks, i, i + 3), ' ') AS gram
+        FROM s, UNNEST(generate_series(1, len(toks) - 3)) AS u(i)
+        WHERE len(toks) >= 4"""
+    split_fn = "split" if dialect == "spark" else "string_split"
+    return f"""
+    WITH s AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c'
+                         THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'e'
+                         THEN 'valid'
+                    ELSE 'test' END AS split,
+               {split_fn}(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    g AS ({grams}),
+    tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+    te AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM (SELECT doc_id, gram FROM g WHERE split = 'test') t
+        LEFT JOIN tg ON t.gram = tg.gram
+        GROUP BY t.doc_id
+    )
+    SELECT CAST(FLOOR(10 * (CAST(n_hit AS DOUBLE) / n_grams)) AS BIGINT)
+               AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_hit) AS BIGINT) AS contaminated_grams
+    FROM te
+    GROUP BY 1
+    """
+
+
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_decontamination_sql("spark"))
+
+
 def _temporal_decay_sql(dialect: str) -> str:
     """Time-decayed linkage evidence (the temporal-record-linkage idea
     of Li/Dong/Srivastava, VLDB 2011: agreement observed across a
@@ -5230,6 +5296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value_specific_weights": _q_sql(_value_specific_sql()),
             "uncertainty_sample": _q_sql(_uncertainty_sql()),
             "capture_recapture": _q_sql(_CAPTURE_RECAPTURE_SQL),
+            "decontamination": _q_decontamination,
             "temporal_decay_pairs": _q_temporal_decay,
             "constrained_cc": _q_constrained_cc,
             "meta_blocking": _q_meta_blocking,
@@ -5929,6 +5996,7 @@ def oracle_sql() -> dict[str, str]:
             "value_specific_weights": _value_specific_sql(),
             "uncertainty_sample": _uncertainty_sql(),
             "capture_recapture": _CAPTURE_RECAPTURE_SQL,
+            "decontamination": _decontamination_sql("duckdb"),
             "cnp_meta_blocking": _CNP_ORACLE_SQL,
             "temporal_decay_pairs": _temporal_decay_sql("duckdb"),
             "fs_em_weights": _fs_em_sql(f"""

@@ -232,6 +232,17 @@ CHECKS = {
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
     ],
+    # decontamination: n-gram fan-out + distinct train-set shuffle +
+    # one equi-join of test grams + bounded aggregates
+    "decontamination": [
+        ("scan prunes to doc_id+text", lambda p: re.search(
+            r"ReadSchema: struct<doc_id:bigint,text:string>", p) is not None),
+        ("gram join is equi (no theta)", lambda p:
+         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
     # Gopher quality gate: all signals are JVM-side codegen expressions
     # over one pruned scan with a map-side partial agg — no Python, no
     # join, no window
