@@ -3932,6 +3932,149 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_decontamination_sql("spark"))
 
 
+def _unigram_nll_sql(dialect: str) -> str:
+    """Perplexity-proxy quality filter (the CCNet methodology with a
+    unigram LM standing in for KenLM, which is not in this container):
+    fit corpus unigram frequencies, score every document by its mean
+    negative log2 token probability, and report the 5 HIGHEST-NLL
+    (most out-of-distribution) documents per language — the review
+    queue a curation pipeline sends to the quality gate. 100-TB shape:
+    one token fan-out + freq partial-agg, one equi-join of tokens
+    against the vocabulary (AQE broadcasts small vocabs), one per-doc
+    partial agg, one bounded per-lang top-k window. Cross-engine
+    determinism: the only libm op is log2 whose last-ulp differences
+    are absorbed by ROUND(...,4) after the per-doc mean (the repo's
+    established convention, cf. temporal_decay_pairs), and the window
+    order ties are fully broken by doc_id."""
+    split_fn = "split" if dialect == "spark" else "string_split"
+    explode = (
+        "explode(split(lower(text), ' '))" if dialect == "spark"
+        else "unnest(string_split(lower(text), ' '))"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {explode} AS tok FROM documents
+    ),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+             FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               ROUND(SUM(log2(CAST(tot.n_total AS DOUBLE) / f.n))
+                     / COUNT(*), 4) AS mean_nll
+        FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang, doc_id, rk, n_toks, mean_nll
+    FROM (
+        SELECT lang, doc_id, n_toks, mean_nll,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY mean_nll DESC, doc_id) AS rk
+        FROM scored
+    ) r
+    WHERE rk <= 5
+    """
+
+
+def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    df = spark.sql(_unigram_nll_sql("spark"))
+    return df.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+def _zipf_head_sql(dialect: str) -> str:
+    """Vocabulary head-coverage curve (the Zipf diagnostic behind
+    tokenizer-vocabulary sizing): what fraction of all corpus token
+    occurrences do the top-k most frequent surface forms cover, at
+    k = 10 / 100 / 1000? Exact BIGINT arithmetic end to end (rank by
+    (freq desc, token) — a unique total order — then three gated sums);
+    the only float is the final ROUND(ratio, 6) division. 100-TB
+    shape: token fan-out + one freq partial-agg shuffle, one global
+    rank over the VOCABULARY (not the corpus — bounded by distinct
+    surface forms; the scale path would swap in
+    operators/blocking.global_rank for a >10^8-form vocabulary), and a
+    3-row output."""
+    explode = (
+        "explode(split(lower(text), ' '))" if dialect == "spark"
+        else "unnest(string_split(lower(text), ' '))"
+    )
+    return f"""
+    WITH freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT {explode} AS tok FROM documents) t
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+        FROM freq
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM freq),
+    ks AS (SELECT CAST(10 AS BIGINT) AS k
+           UNION ALL SELECT 100 UNION ALL SELECT 1000)
+    SELECT ks.k,
+           CAST(SUM(CASE WHEN r.rk <= ks.k THEN r.n ELSE 0 END)
+                AS BIGINT) AS covered,
+           MAX(tot.n_total) AS n_total,
+           MAX(tot.vocab) AS vocab,
+           ROUND(SUM(CASE WHEN r.rk <= ks.k THEN r.n ELSE 0 END)
+                 / CAST(MAX(tot.n_total) AS DOUBLE), 6) AS coverage
+    FROM ks CROSS JOIN ranked r CROSS JOIN tot
+    GROUP BY ks.k
+    """
+
+
+def _q_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark side avoids the dialect-neutral SQL's single-task global
+    # ROW_NUMBER (a scale-killer on a 10^8-form vocabulary): ranks come
+    # from operators/blocking.global_rank (range partition + local rank
+    # + offset shift, driver state = one row per partition) over the
+    # unique total order (freq desc, token), then ONE conditional-sum
+    # pass over the vocabulary and a 3-row stack. Values identical to
+    # the oracle's window form.
+    from kawa_spark.operators.blocking import global_rank
+
+    _views(spark, sf_dir)
+    freq = spark.sql("""
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT explode(split(lower(text), ' ')) AS tok
+              FROM documents) t
+        GROUP BY tok
+    """)
+    ranked = global_rank(
+        freq.withColumn("neg_n", -F.col("n")), ["neg_n", "tok"],
+        rank_col="rk",
+    )
+    agg = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"c{k}")
+            for k in (10, 100, 1000)
+        ],
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    parts = [
+        agg.select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col(f"c{k}").alias("covered"),
+            "n_total",
+            "vocab",
+            F.round(
+                F.col(f"c{k}") / F.col("n_total").cast("double"), 6
+            ).alias("coverage"),
+        )
+        for k in (10, 100, 1000)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _temporal_decay_sql(dialect: str) -> str:
     """Time-decayed linkage evidence (the temporal-record-linkage idea
     of Li/Dong/Srivastava, VLDB 2011: agreement observed across a
@@ -5324,6 +5467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "uncertainty_sample": _q_uncertainty_sample,
             "capture_recapture": _q_sql(_CAPTURE_RECAPTURE_SQL),
             "decontamination": _q_decontamination,
+            "unigram_nll_outliers": _q_unigram_nll,
+            "zipf_head_coverage": _q_zipf_head,
             "temporal_decay_pairs": _q_temporal_decay,
             "constrained_cc": _q_constrained_cc,
             "meta_blocking": _q_meta_blocking,
@@ -6024,6 +6169,8 @@ def oracle_sql() -> dict[str, str]:
             "uncertainty_sample": _uncertainty_sql(),
             "capture_recapture": _CAPTURE_RECAPTURE_SQL,
             "decontamination": _decontamination_sql("duckdb"),
+            "unigram_nll_outliers": _unigram_nll_sql("duckdb"),
+            "zipf_head_coverage": _zipf_head_sql("duckdb"),
             "cnp_meta_blocking": _CNP_ORACLE_SQL,
             "temporal_decay_pairs": _temporal_decay_sql("duckdb"),
             "fs_em_weights": _fs_em_sql(f"""

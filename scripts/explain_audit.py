@@ -243,6 +243,31 @@ CHECKS = {
         ("no Python in the plan", lambda p:
          "BatchEvalPython" not in p and "ArrowEval" not in p),
     ],
+    # unigram-NLL outliers: token fan-out + vocab equi-join + per-doc
+    # partial agg + bounded per-lang top-k window; the 1-row total
+    # rides a scalar cross
+    "unigram_nll_outliers": [
+        ("scan prunes to doc_id+text+lang", lambda p: re.search(
+            r"ReadSchema: struct<doc_id:bigint,text:string,lang:string>",
+            p) is not None),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("per-lang window has a partition spec", lambda p: not re.search(
+            r"Window \[[^\]]*row_number[^\]]*\], \[\]", p)),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
+    # Zipf head coverage: vocabulary rank via global_rank (range
+    # partition + local rank), never a single-task global window
+    "zipf_head_coverage": [
+        ("no single-task window (every window has a partition spec)",
+         lambda p: not re.search(
+             r"Window \[[^\]]*row_number[^\]]*\], \[\]", p)),
+        ("map-side partial aggs", lambda p: "partial_" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("no Python in the plan", lambda p:
+         "BatchEvalPython" not in p and "ArrowEval" not in p),
+    ],
     # Gopher quality gate: all signals are JVM-side codegen expressions
     # over one pruned scan with a map-side partial agg — no Python, no
     # join, no window
