@@ -185,3 +185,29 @@ class TestPipelineJoinStrategy:
                 word2ner=[list(r) for r in corpus.word2ner],
                 cfg=PipelineConfig(extract_strategy="magic"),
             )
+
+
+class TestJoinStrategyResume:
+    def test_resume_skips_and_matches_with_join_extraction(
+        self, spark, corpus, docs_df, tmp_path
+    ):
+        """Checkpoint/resume contract holds under the join strategy:
+        a resumed run skips every stage and lands identical clusters."""
+        cfg = PipelineConfig(extract_strategy="join")
+        w2n = [list(r) for r in corpus.word2ner]
+        out = str(tmp_path / "er_join")
+        pipe = ERPipeline(spark, w2n, cfg=cfg, out_dir=out)
+        first = pipe.run(docs_df).select("mention_id", "cluster_id").collect()
+        pipe2 = ERPipeline(spark, w2n, cfg=cfg, out_dir=out)
+        second = pipe2.run(docs_df, resume=True).select(
+            "mention_id", "cluster_id"
+        ).collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+        assert all(m.resumed for m in pipe2.metrics), pipe2.metrics
+
+    def test_config_fingerprint_distinguishes_strategies(self):
+        a = PipelineConfig().fingerprint()
+        b = PipelineConfig(extract_strategy="join").fingerprint()
+        # resume manifests key on the fingerprint: a broadcast-run
+        # checkpoint must never satisfy a join-strategy resume
+        assert a != b
